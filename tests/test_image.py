@@ -29,7 +29,7 @@ def test_resize_bilinear_matches_torch(rng, out_size):
     ref = F.interpolate(xt, size=out_size, mode="bilinear",
                         align_corners=False)
     ref = ref.permute(0, 2, 3, 1).numpy()
-    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=5e-5)
 
 
 def test_complex2channel(rng):
