@@ -1,0 +1,235 @@
+"""Decision Transformer over interleaved (RTG, state, action) tokens, in Flax.
+
+Behavioral parity with /root/reference/transformer/decision_transformer.py:
+  * conv state encoder for 128x128 observations (:128-132)
+  * learned time embedding repeat-interleaved across the 3 (or 2) token
+    streams; learned task embedding added to state embeddings (:221-231)
+  * pre-LN causal attention with residual, but **no residual around the MLP**
+    (:99-102) — a reference quirk that published checkpoints were trained
+    with, so it is replicated bit-for-bit
+  * action head (sigmoid) read at state positions, RTG head read at action
+    positions (:248-251); two-token inference mode when ``actions is None``
+    (:233-237)
+  * per-key action rescale whose key order differs by mode — flex:
+    (mu, sigma_d, T), norm: (T, sigma_d, mu); sigma_d scale 70/255 (:147-154)
+
+TPU-first design choices: the token interleave is a stack+reshape (one XLA
+transpose) instead of strided scatter-assignment; attention over the 18-token
+sequence stays a single fused dot-product chain (with an optional Pallas
+fused kernel); everything is shape-static so the whole forward jits into one
+program.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from dt4image_restoration_tpu.config import ModelConfig
+
+SIGMA_D_SCALE = 70.0 / 255.0
+
+# Column order of the raw 3-dim action head output, per mode
+# (decision_transformer.py:147-154). The tuple maps column index -> key.
+ACTION_KEYS = {
+    "flex": ("mu", "sigma_d", "T"),
+    "norm": ("T", "sigma_d", "mu"),
+}
+
+
+@dataclasses.dataclass
+class DTOutput:
+    """All head outputs of one forward pass (callers select what they need,
+    mirroring the reference's eval_rtg/eval_actions return flags :257-263)."""
+    pred_actions: jnp.ndarray          # (B, T, 3) rescaled actions
+    pred_rtg: Optional[jnp.ndarray]    # (B, T, 1); None in two-token mode
+    action_dict: Dict[str, jnp.ndarray]  # key -> (B, T, 1)
+
+
+def _normal_init(std: float = 0.02):
+    return nn.initializers.normal(stddev=std)
+
+
+class Attention(nn.Module):
+    """Causal multi-head attention (fused QKV) for short decode sequences."""
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool):
+        cfg = self.cfg
+        b, t, e = x.shape
+        h = cfg.n_heads
+        qkv = nn.Dense(3 * e, kernel_init=_normal_init(),
+                       bias_init=nn.initializers.zeros, name="qkv_proj")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, t, h, e // h).transpose(0, 2, 1, 3)
+        k = k.reshape(b, t, h, e // h).transpose(0, 2, 1, 3)
+        v = v.reshape(b, t, h, e // h).transpose(0, 2, 1, 3)
+
+        att = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                         preferred_element_type=jnp.float32)
+        att = att / jnp.sqrt(jnp.asarray(e // h, att.dtype))
+        causal = jnp.tril(jnp.ones((t, t), bool))
+        att = jnp.where(causal, att, -jnp.inf)
+        att = jax.nn.softmax(att, axis=-1).astype(x.dtype)
+        att = nn.Dropout(cfg.dropout)(att, deterministic=deterministic)
+        y = jnp.einsum("bhqk,bhkd->bhqd", att, v,
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+        y = y.transpose(0, 2, 1, 3).reshape(b, t, e)
+        y = nn.Dense(e, kernel_init=_normal_init(),
+                     bias_init=nn.initializers.zeros, name="o_proj")(y)
+        return nn.Dropout(cfg.dropout)(y, deterministic=deterministic)
+
+
+class Block(nn.Module):
+    """Pre-LN block. NOTE: residual around attention only — the MLP output
+    *replaces* the stream (reference quirk, decision_transformer.py:99-102)."""
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool):
+        cfg = self.cfg
+        x = x + Attention(cfg, name="attn")(
+            nn.LayerNorm(name="ln1")(x), deterministic)
+        h = nn.LayerNorm(name="ln2")(x)
+        h = nn.Dense(4 * cfg.embed_dim, kernel_init=_normal_init(),
+                     bias_init=nn.initializers.zeros, name="fc")(h)
+        h = jax.nn.gelu(h, approximate=False)
+        h = nn.Dense(cfg.embed_dim, kernel_init=_normal_init(),
+                     bias_init=nn.initializers.zeros, name="fc_proj")(h)
+        return nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
+
+
+class StateEncoder(nn.Module):
+    """Conv stack for 128x128 observations -> embed_dim (NHWC layout)."""
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, states):
+        cfg = self.cfg
+        b, t, _ = states.shape
+        s = cfg.image_size
+        x = states.reshape(b * t, s, s, 1)
+        x = nn.Conv(8, (8, 8), strides=(4, 4), padding="VALID",
+                    kernel_init=_normal_init(), name="conv0")(x)
+        x = jax.nn.relu(x)
+        x = nn.Conv(16, (4, 4), strides=(2, 2), padding="VALID",
+                    kernel_init=_normal_init(), name="conv1")(x)
+        x = jax.nn.relu(x)
+        x = nn.Conv(16, (3, 3), strides=(1, 1), padding="VALID",
+                    kernel_init=_normal_init(), name="conv2")(x)
+        x = jax.nn.relu(x)
+        x = x.reshape(b * t, -1)
+        x = nn.Dense(cfg.embed_dim, kernel_init=_normal_init(),
+                     bias_init=nn.initializers.zeros, name="dense")(x)
+        x = jnp.tanh(x)
+        return x.reshape(b, t, cfg.embed_dim)
+
+
+class DecisionTransformer(nn.Module):
+    """GPT over interleaved (RTG, state, action) token streams."""
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, rtg, states, timesteps, task, actions=None,
+                 deterministic: bool = True) -> DTOutput:
+        """Forward pass.
+
+        Args:
+          rtg: (B, T, 1) returns-to-go.
+          states: (B, T, image_size**2) flattened observations.
+          timesteps: (B, T) or (B, T, 1) integer timesteps.
+          task: (B, T) integer task tokens.
+          actions: (B, T, action_dim) or None for two-token (RTG, state) mode.
+          deterministic: disables dropout (inference).
+        """
+        cfg = self.cfg
+        b, t, _ = states.shape
+
+        rtg_emb = jnp.tanh(
+            nn.Dense(cfg.embed_dim, kernel_init=_normal_init(),
+                     bias_init=nn.initializers.zeros,
+                     name="embed_return")(rtg))
+        state_emb = StateEncoder(cfg, name="state_encoder")(states)
+
+        timesteps = jnp.asarray(timesteps).reshape(b, -1).astype(jnp.int32)
+        time_emb = nn.Embed(cfg.max_timestep, cfg.embed_dim,
+                            embedding_init=_normal_init(),
+                            name="time_embed")(timesteps)
+        task_emb = nn.Embed(cfg.n_embeds, cfg.embed_dim,
+                            embedding_init=_normal_init(),
+                            name="task_embed")(task)
+        state_emb = state_emb + task_emb
+
+        if actions is not None:
+            act_emb = jnp.tanh(
+                nn.Dense(cfg.embed_dim, kernel_init=_normal_init(),
+                         bias_init=nn.initializers.zeros,
+                         name="embed_action")(actions))
+            streams = (rtg_emb, state_emb, act_emb)
+        else:
+            streams = (rtg_emb, state_emb)
+        n_streams = len(streams)
+
+        # Interleave [rtg, state, (action)] per timestep: (B, T, S, E) ->
+        # (B, S*T, E). One transpose instead of the reference's strided
+        # scatter (decision_transformer.py:227-237).
+        tokens = jnp.stack(streams, axis=2).reshape(
+            b, n_streams * t, cfg.embed_dim)
+        time_interleaved = jnp.repeat(time_emb, n_streams, axis=1)
+
+        x = nn.Dropout(cfg.embd_dropout)(
+            tokens + time_interleaved, deterministic=deterministic)
+        for i in range(cfg.n_blocks):
+            x = Block(cfg, name=f"block{i}")(x, deterministic)
+        x = nn.LayerNorm(name="layer_n")(x)
+
+        # Heads read stream-specific positions: actions at state tokens,
+        # RTG at action tokens (decision_transformer.py:248-251).
+        x = x.reshape(b, t, n_streams, cfg.embed_dim)
+        raw_actions = jax.nn.sigmoid(
+            nn.Dense(cfg.action_dim, kernel_init=_normal_init(),
+                     bias_init=nn.initializers.zeros,
+                     name="predict_action")(x[:, :, 1]))
+        pred_rtg = None
+        if actions is not None:
+            pred_rtg = nn.Dense(1, kernel_init=_normal_init(),
+                                bias_init=nn.initializers.zeros,
+                                name="predict_rtg")(x[:, :, 2])
+
+        pred_actions, action_dict = transform_actions(raw_actions, cfg.mode)
+        return DTOutput(pred_actions=pred_actions, pred_rtg=pred_rtg,
+                        action_dict=action_dict)
+
+
+def transform_actions(raw: jnp.ndarray, mode: str
+                      ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Per-key scale/shift of the sigmoid action output
+    (decision_transformer.py:266-275). Only sigma_d is scaled (70/255);
+    the concatenated output keeps the head's column order."""
+    keys = ACTION_KEYS[mode]
+    cols = jnp.split(raw, raw.shape[-1], axis=-1)
+    action_dict = {}
+    for i, key in enumerate(keys):
+        scale = SIGMA_D_SCALE if key == "sigma_d" else 1.0
+        action_dict[key] = cols[i] * scale
+    out = jnp.concatenate([action_dict[k] for k in keys], axis=-1)
+    return out, action_dict
+
+
+def init_dt_params(cfg: ModelConfig, seed: int = 0):
+    """Initialize DT parameters (weight init N(0, 0.02), zero biases,
+    unit LayerNorm — decision_transformer.py:157-164)."""
+    model = DecisionTransformer(cfg)
+    t = cfg.context_length
+    s = cfg.image_size
+    rng = jax.random.PRNGKey(seed)
+    variables = model.init(
+        {"params": rng},
+        jnp.zeros((1, t, 1)), jnp.zeros((1, t, s * s)),
+        jnp.zeros((1, t), jnp.int32), jnp.zeros((1, t), jnp.int32),
+        jnp.zeros((1, t, cfg.action_dim)))
+    return variables["params"]

@@ -1,0 +1,103 @@
+"""Residual U-Net plug-in denoiser (the PnP prior), in Flax/NHWC.
+
+Behavioral parity with /root/reference/evaluation/noise.py:
+  * encoder 32/64/128/256/512 via 2x2 max-pool (noise.py:19-29,104-108)
+  * decoder via 2x bilinear upsample with align_corners=True, pad-to-match,
+    skip concat ``[skip, upsampled]`` (noise.py:32-61,109-112)
+  * 3-layer 3x3 conv blocks with LeakyReLU(0.2) (noise.py:88-98)
+  * 1x1 output conv, residual add of the *image* channel (noise.py:130-133)
+  * denoiser wrapper concatenates a constant sigma noise-map channel and
+    clamps the output to [0,1] (noise.py:155-164)
+
+TPU-first design choices: NHWC layout (XLA's preferred conv layout on TPU),
+bilinear upsampling expressed as MXU matmuls (ops/image.py), f32 params with
+optional bf16 compute.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+import jax
+
+from dt4image_restoration_tpu.ops.image import bilinear_upsample_2x
+
+
+class ConvBlock(nn.Module):
+    """num_layer x [3x3 conv (pad 1) + LeakyReLU(0.2)]."""
+    features: int
+    num_layer: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_layer):
+            x = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype,
+                        name=f"conv{i}")(x)
+            x = jax.nn.leaky_relu(x, negative_slope=0.2)
+        return x
+
+
+def _pad_to_match(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+    """Pad x1 spatially so it matches x2, splitting the difference left/right
+    like the reference decoder (noise.py:49-53). No-op for power-of-two
+    inputs such as the 128x128 CSMRI slices."""
+    dy = x2.shape[-3] - x1.shape[-3]
+    dx = x2.shape[-2] - x1.shape[-2]
+    if dy == 0 and dx == 0:
+        return x1
+    return jnp.pad(x1, ((0, 0), (dy // 2, dy - dy // 2),
+                        (dx // 2, dx - dx // 2), (0, 0)))
+
+
+class UNet(nn.Module):
+    """2-in (image + noise map) / 1-out residual U-Net on NHWC tensors."""
+    out_channels: int = 1
+    base_channels: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        noisy = x
+        c = self.base_channels
+        x1 = ConvBlock(c, dtype=self.dtype, name="inc")(x)
+        x2 = ConvBlock(2 * c, dtype=self.dtype, name="down1")(
+            nn.max_pool(x1, (2, 2), strides=(2, 2)))
+        x3 = ConvBlock(4 * c, dtype=self.dtype, name="down2")(
+            nn.max_pool(x2, (2, 2), strides=(2, 2)))
+        x4 = ConvBlock(8 * c, dtype=self.dtype, name="down3")(
+            nn.max_pool(x3, (2, 2), strides=(2, 2)))
+        x5 = ConvBlock(16 * c, dtype=self.dtype, name="down4")(
+            nn.max_pool(x4, (2, 2), strides=(2, 2)))
+
+        def up(a, skip, feats, name):
+            a = bilinear_upsample_2x(a)
+            a = _pad_to_match(a, skip)
+            a = jnp.concatenate([skip, a], axis=-1)
+            return ConvBlock(feats, dtype=self.dtype, name=name)(a)
+
+        y = up(x5, x4, 8 * c, "up1")
+        y = up(y, x3, 4 * c, "up2")
+        y = up(y, x2, 2 * c, "up3")
+        y = up(y, x1, c, "up4")
+        residual = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                           name="outc")(y)
+        return noisy[..., :self.out_channels] + residual
+
+
+class UNetDenoiser(nn.Module):
+    """Frozen plug-in prior: adds the sigma noise-map channel and clamps.
+
+    Input ``x`` is NHWC (B, H, W, 1); ``sigma`` is scalar or (B,).
+    """
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, sigma):
+        sigma = jnp.broadcast_to(
+            jnp.asarray(sigma, x.dtype).reshape(-1, 1, 1, 1),
+            x.shape[:-1] + (1,))
+        out = UNet(dtype=self.dtype, name="net")(
+            jnp.concatenate([x, sigma], axis=-1))
+        return jnp.clip(out, 0.0, 1.0)

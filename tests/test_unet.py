@@ -1,0 +1,120 @@
+"""Parity tests: Flax U-Net denoiser + torch->JAX converter vs a
+torch-functional execution of the reference architecture
+(/root/reference/evaluation/noise.py). Random weights are generated in the
+reference checkpoint's key naming, converted with our converter, and both
+sides must agree to float tolerance."""
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+import jax.numpy as jnp
+
+from dt4image_restoration_tpu.models import UNetDenoiser
+from dt4image_restoration_tpu.utils.checkpoint import convert_unet_state_dict
+
+CHANNELS = [32, 64, 128, 256, 512]
+
+
+def make_unet_state_dict(gen: torch.Generator) -> dict:
+    """Random weights with the reference UNet's state_dict key layout."""
+    sd = {}
+
+    def add_block(prefix, c_in, c_out):
+        chans = [c_in, c_out, c_out, c_out]
+        for i in range(3):
+            sd[f"{prefix}.conv-{i}.conv2d.weight"] = 0.1 * torch.randn(
+                chans[i + 1], chans[i], 3, 3, generator=gen)
+            sd[f"{prefix}.conv-{i}.conv2d.bias"] = 0.1 * torch.randn(
+                chans[i + 1], generator=gen)
+
+    add_block("inc.conv", 2, 32)
+    for k in range(1, 5):
+        add_block(f"down{k}.mpconv.1", CHANNELS[k - 1], CHANNELS[k])
+    for k in range(1, 5):
+        c_skip = CHANNELS[4 - k]
+        c_up = CHANNELS[5 - k]
+        add_block(f"up{k}.conv", c_skip + c_up, c_skip)
+    sd["outc.conv.weight"] = 0.1 * torch.randn(1, 32, 1, 1, generator=gen)
+    sd["outc.conv.bias"] = 0.1 * torch.randn(1, generator=gen)
+    return sd
+
+
+def torch_unet_forward(sd: dict, x: torch.Tensor) -> torch.Tensor:
+    """Reference forward recomputed with torch.nn.functional ops
+    (noise.py:119-133 data flow)."""
+
+    def block(prefix, t):
+        for i in range(3):
+            t = F.conv2d(t, sd[f"{prefix}.conv-{i}.conv2d.weight"],
+                         sd[f"{prefix}.conv-{i}.conv2d.bias"], padding=1)
+            t = F.leaky_relu(t, 0.2)
+        return t
+
+    def up(prefix, t, skip):
+        t = F.interpolate(t, scale_factor=2, mode="bilinear",
+                          align_corners=True)
+        dy = skip.shape[2] - t.shape[2]
+        dx = skip.shape[3] - t.shape[3]
+        t = F.pad(t, (dx // 2, dx - dx // 2, dy // 2, dy - dy // 2))
+        return block(prefix, torch.cat([skip, t], dim=1))
+
+    x1 = block("inc.conv", x)
+    x2 = block("down1.mpconv.1", F.max_pool2d(x1, 2))
+    x3 = block("down2.mpconv.1", F.max_pool2d(x2, 2))
+    x4 = block("down3.mpconv.1", F.max_pool2d(x3, 2))
+    x5 = block("down4.mpconv.1", F.max_pool2d(x4, 2))
+    y = up("up1.conv", x5, x4)
+    y = up("up2.conv", y, x3)
+    y = up("up3.conv", y, x2)
+    y = up("up4.conv", y, x1)
+    residual = F.conv2d(y, sd["outc.conv.weight"], sd["outc.conv.bias"])
+    return x[:, :1] + residual
+
+
+def torch_denoiser(sd, img, sigma):
+    n, c, h, w = img.shape
+    noise_map = torch.ones(n, 1, h, w) * sigma
+    out = torch_unet_forward(sd, torch.cat([img, noise_map], dim=1))
+    return torch.clamp(out, 0, 1)
+
+
+@pytest.mark.parametrize("size", [48, 128])
+def test_denoiser_parity(size):
+    gen = torch.Generator().manual_seed(0)
+    sd = make_unet_state_dict(gen)
+    img = torch.rand(2, 1, size, size, generator=gen)
+    sigma = 15.0 / 255.0
+
+    ref = torch_denoiser(sd, img, sigma).numpy()
+
+    params = convert_unet_state_dict(sd)
+    x_nhwc = jnp.asarray(img.numpy().transpose(0, 2, 3, 1))
+    ours = UNetDenoiser().apply(
+        {"params": params}, x_nhwc, jnp.full((2,), sigma))
+    ours_nchw = np.asarray(ours).transpose(0, 3, 1, 2)
+
+    np.testing.assert_allclose(ours_nchw, ref, rtol=1e-3, atol=2e-4)
+
+
+def test_denoiser_pad_to_match_odd_size():
+    """Odd sizes exercise the decoder pad-to-match path (noise.py:49-53)."""
+    gen = torch.Generator().manual_seed(1)
+    sd = make_unet_state_dict(gen)
+    img = torch.rand(1, 1, 50, 50, generator=gen)
+    ref = torch_denoiser(sd, img, 0.1).numpy()
+    params = convert_unet_state_dict(sd)
+    ours = UNetDenoiser().apply(
+        {"params": params},
+        jnp.asarray(img.numpy().transpose(0, 2, 3, 1)), jnp.asarray([0.1]))
+    np.testing.assert_allclose(
+        np.asarray(ours).transpose(0, 3, 1, 2), ref, rtol=1e-3, atol=2e-4)
+
+
+def test_denoiser_output_clamped():
+    gen = torch.Generator().manual_seed(2)
+    sd = make_unet_state_dict(gen)
+    params = convert_unet_state_dict(sd)
+    out = UNetDenoiser().apply(
+        {"params": params}, jnp.ones((1, 32, 32, 1)) * 5.0, jnp.asarray([0.5]))
+    assert float(jnp.min(out)) >= 0.0
+    assert float(jnp.max(out)) <= 1.0
