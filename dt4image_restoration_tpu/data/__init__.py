@@ -1,0 +1,13 @@
+from dt4image_restoration_tpu.data.synthetic import (
+    make_mat_record,
+    radial_mask,
+    shepp_logan,
+)
+from dt4image_restoration_tpu.data.datasets import (
+    EvaluationDataset,
+    TrainingDataset,
+    extract_task,
+)
+
+__all__ = ["make_mat_record", "radial_mask", "shepp_logan",
+           "EvaluationDataset", "TrainingDataset", "extract_task"]

@@ -1,0 +1,213 @@
+"""Host-side data pipelines: trajectory training data (json + h5) and
+evaluation .mat slices.
+
+Re-implements the behavior of /root/reference/dataset/datasets.py on plain
+numpy (no torch): random block-window cropping / zero-padding + trajectory
+masks, task tokenization, RTG min-max normalization. Two reference latent
+bugs are fixed as evidently intended (SURVEY.md §2): ``_normalize_rtg`` is
+called but commented out upstream (datasets.py:104 vs :28-31) and
+``self_min_rtg`` is a typo (:46) — here normalization actually happens,
+controlled by ``normalize_rtg``, using the same min-max convention the eval
+datasets apply to the RTG target (:165, :204).
+"""
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from dt4image_restoration_tpu.config import (
+    FLEX_RTG_RANGE,
+    FLEX_TASKS,
+    OPTIMAL_RTG_RANGE,
+    OPTIMAL_TASKS,
+)
+
+ACTION_KEYS_JSON = ("T", "sigma_d", "mu")  # dict order in trajectory json
+
+
+def extract_task(s: str) -> str:
+    """Filename -> task id, e.g. 'img_4_15_slice0.mat' -> '4_15'
+    (reference datasets.py:13-16)."""
+    match = re.search(r"\d+_\d+", s)
+    if match is None:
+        raise ValueError(f"no task pattern in: {s}")
+    return match.group()
+
+
+def minmax_normalize(value, lo: float, hi: float):
+    return (np.asarray(value, np.float32) - lo) / (hi - lo)
+
+
+class TrainingDataset:
+    """Offline trajectories: one json per trajectory (keys ``RTG``,
+    ``Actions`` (dict of 3 per-step lists), ``State Paths``, ``Task``),
+    with observation images stored in a single HDF5 file keyed by the
+    trailing part of each state path (reference datasets.py:38-132).
+
+    ``__getitem__`` returns numpy arrays
+    (states, actions, rtg, traj_masks, timesteps, task) with a random
+    ``block_size`` window crop of longer trajectories and zero-pad + mask
+    for shorter ones.
+    """
+
+    def __init__(self, block_size: int, data_dir: str, action_dim: int,
+                 state_file_path: str, tasks: Sequence[str],
+                 min_rtg: float, max_rtg: float, image_size: int = 128,
+                 normalize_rtg: bool = True,
+                 path_prefix_len: int = 10,
+                 rng: Optional[np.random.Generator] = None) -> None:
+        self.block_size = block_size
+        self.data_dir = data_dir
+        self.action_dim = action_dim
+        self.state_file_path = state_file_path
+        self.task_tokenizer = {t: i for i, t in enumerate(tasks)}
+        self.min_rtg = min_rtg
+        self.max_rtg = max_rtg
+        self.image_size = image_size
+        self.normalize_rtg = normalize_rtg
+        # The reference strips the first 10 chars of each state path to get
+        # the h5 key (datasets.py:50).
+        self.path_prefix_len = path_prefix_len
+        self.files = sorted(os.listdir(data_dir))
+        self.rng = rng or np.random.default_rng(0)
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def _get_image(self, traj_path: str) -> np.ndarray:
+        import h5py
+        key = traj_path[self.path_prefix_len:]
+        with h5py.File(self.state_file_path, "r") as f:
+            return np.float32(f[key][:] / 255)
+
+    def __getitem__(self, index: int):
+        with open(os.path.join(self.data_dir, self.files[index])) as f:
+            traj = json.load(f)
+
+        traj_len = len(traj["RTG"])
+        block = self.block_size
+        task_id = self.task_tokenizer[traj["Task"]]
+        task = np.full((block,), task_id, np.int32)
+
+        rtg_all = np.asarray(traj["RTG"], np.float32)
+        if self.normalize_rtg:
+            rtg_all = minmax_normalize(rtg_all, self.min_rtg, self.max_rtg)
+
+        if traj_len >= block:
+            start = 0 if traj_len == block else int(
+                self.rng.integers(0, traj_len - block))
+            sl = slice(start, start + block)
+            actions = np.stack(
+                [np.asarray(traj["Actions"][k][sl], np.float32)
+                 for k in traj["Actions"]], axis=1)
+            rtg = rtg_all[sl].reshape(-1, 1)
+            timesteps = np.arange(start, start + block,
+                                  dtype=np.int32).reshape(-1, 1)
+            paths = traj["State Paths"][sl]
+            states = np.stack([self._get_image(p) for p in paths])
+            masks = np.ones((block,), np.float32)
+        else:
+            pad = block - traj_len
+            actions = np.stack(
+                [np.asarray(traj["Actions"][k][:traj_len], np.float32)
+                 for k in traj["Actions"]], axis=1)
+            actions = np.concatenate(
+                [actions, np.zeros((pad, actions.shape[1]), np.float32)])
+            rtg = np.concatenate(
+                [rtg_all.reshape(-1, 1), np.zeros((pad, 1), np.float32)])
+            masks = np.concatenate(
+                [np.ones(traj_len, np.float32), np.zeros(pad, np.float32)])
+            states = np.stack(
+                [self._get_image(p) for p in traj["State Paths"][:traj_len]])
+            states = np.concatenate(
+                [states, np.zeros((pad,) + states.shape[1:], np.float32)])
+            timesteps = np.arange(block, dtype=np.int32).reshape(-1, 1)
+
+        states = states.reshape(block, -1)
+        return (states, actions, rtg, masks[:, None], timesteps, task)
+
+    def batches(self, batch_size: int, shuffle: bool = True,
+                drop_remainder: bool = True,
+                seed: Optional[int] = None
+                ) -> Iterator[Dict[str, np.ndarray]]:
+        """Host-side batch iterator producing stacked numpy dicts ready for
+        device sharding (the lawful JAX analogue of DataLoader +
+        DistributedSampler, main.py:55-69)."""
+        order = np.arange(len(self))
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        n = len(order) - (len(order) % batch_size if drop_remainder else 0)
+        for i in range(0, n, batch_size):
+            idx = order[i:i + batch_size]
+            if len(idx) < batch_size and drop_remainder:
+                break
+            items = [self[j] for j in idx]
+            names = ("states", "actions", "rtg", "traj_masks", "timesteps",
+                     "task")
+            yield {k: np.stack([it[j] for it in items])
+                   for j, k in enumerate(names)}
+
+
+class EvaluationDataset:
+    """Evaluation slices from .mat files, covering both reference variants:
+
+      * ``kind='optimal'`` — task token parsed from the filename pattern
+        ``{acc}_{noise}`` (datasets.py:171-207)
+      * ``kind='flex'`` — task token from the RTG target value
+        (datasets.py:135-168)
+
+    ``__getitem__`` returns ``((states, rtg, actions, task), mat)`` where
+    ``mat['x0']`` is clipped at 0 like the reference (:160, :199).
+    """
+
+    def __init__(self, data_dir: str, rtg_target: float,
+                 kind: str = "optimal", action_dim: int = 3,
+                 image_size: int = 128) -> None:
+        self.data_dir = data_dir
+        self.rtg_target = float(rtg_target)
+        self.kind = kind
+        self.action_dim = action_dim
+        self.image_size = image_size
+        if kind == "flex":
+            self.tasks, (self.min_rtg, self.max_rtg) = (
+                FLEX_TASKS, FLEX_RTG_RANGE)
+        else:
+            self.tasks, (self.min_rtg, self.max_rtg) = (
+                OPTIMAL_TASKS, OPTIMAL_RTG_RANGE)
+        self.task_tokenizer = {t: i for i, t in enumerate(self.tasks)}
+        self.fns = sorted(f for f in os.listdir(data_dir)
+                          if f.endswith(".mat"))
+
+    def __len__(self) -> int:
+        return len(self.fns)
+
+    def _task_token(self, fn: str) -> int:
+        if self.kind == "flex":
+            # 'rtg_3' vs 'rtg_3.0': reproduce str() of the python value
+            # (datasets.py:150).
+            val = self.rtg_target
+            label = f"rtg_{int(val) if val == int(val) else val}"
+        else:
+            t = extract_task(fn)
+            label = t[0] + "x" + t[1:]
+        return self.task_tokenizer[label]
+
+    def __getitem__(self, index: int):
+        from scipy.io import loadmat
+        fn = self.fns[index]
+        mat = loadmat(os.path.join(self.data_dir, fn))
+        record = {k: np.asarray(mat[k]) for k in
+                  ("x0", "y0", "mask", "ATy0", "gt")}
+        record["x0"] = np.clip(record["x0"], 0, None)
+
+        s = self.image_size
+        states = record["x0"][..., 0].reshape(1, -1).astype(np.float32)
+        rtg = minmax_normalize(self.rtg_target, self.min_rtg, self.max_rtg)
+        rtg = np.full((1, 1), rtg, np.float32)
+        actions = np.zeros((self.action_dim,), np.float32)
+        task = np.asarray([self._task_token(fn)], np.int32)
+        return (states, rtg, actions, task), record

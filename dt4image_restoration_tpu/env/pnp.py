@@ -1,0 +1,178 @@
+"""PnP-ADMM environment for CSMRI, as pure functions over a state pytree.
+
+Behavioral parity with /root/reference/evaluation/env.py:30-117, redesigned
+for XLA: the mutable OrderedDict becomes an immutable ``CSMRIState``
+dataclass pytree; the Python early-return on ``T > 0.5`` (env.py:79-83)
+becomes a carried ``done`` mask so a whole episode compiles into one
+``lax.scan``; everything is batched over a leading slice axis and shards
+over the device mesh's data axis.
+
+One ADMM iteration (env.py:85-98):
+    x   = denoiser(Re(z - u), sigma_d)            # plug-in prior
+    z~  = F(x + u)                                # centered ortho FFT
+    z~  = (mu*z~ + y0)/(1+mu) on sampled k-space  # data consistency
+    z   = F^-1(z~)
+    u   = u + x - z                               # dual ascent
+    T  += 1/30
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Mapping, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from dt4image_restoration_tpu.ops import fft2c, ifft2c, kspace_consistency, psnr
+
+
+class CSMRIState(struct.PyTreeNode):
+    """ADMM state for a batch of 128x128 CSMRI slices, canonical layout
+    (B, 1, H, W).
+
+    Mirrors the reference's state dict (env.py:71). ``x`` stays complex64 for
+    shape/dtype stability under jit (its imaginary part is zero after the
+    first denoiser application, matching the reference where ``x`` becomes a
+    real tensor after step 1).
+    """
+    x: jnp.ndarray      # (B, 1, H, W) complex64 — current estimate
+    z: jnp.ndarray      # (B, 1, H, W) complex64 — split variable
+    u: jnp.ndarray      # (B, 1, H, W) complex64 — scaled dual
+    mask: jnp.ndarray   # (B, 1, H, W) bool — k-space sampling mask
+    y0: jnp.ndarray     # (B, 1, H, W) complex64 — measured k-space
+    gt: jnp.ndarray     # (B, 1, H, W) float32 — ground truth
+    T: jnp.ndarray      # (B,) float32 — normalized step counter
+    done: jnp.ndarray   # (B,) bool — episode termination mask
+
+    @property
+    def batch(self) -> int:
+        return self.x.shape[0]
+
+
+Action = Mapping[str, jnp.ndarray]  # keys: 'T', 'mu', 'sigma_d'
+
+DenoiseFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+# (B, H, W, 1) image, (B,) sigma -> (B, H, W, 1) denoised
+
+
+def reset_from_mat(mat: Mapping[str, Any], image_size: int = 128
+                   ) -> CSMRIState:
+    """Build the initial state from a .mat record dict with keys
+    x0, y0 (.., H, W, 2 real/imag), mask (.., H, W), gt (.., H, W)
+    (reference env.py:57-71; ``ATy0`` is carried but unused by the loop, so
+    it is dropped here). Any leading batch dims collapse into one."""
+    s = image_size
+
+    def c64(arr):
+        a = jnp.asarray(arr, jnp.float32)
+        return jax.lax.complex(a[..., 0], a[..., 1]).reshape(-1, 1, s, s)
+
+    x = c64(mat["x0"])
+    y0 = c64(mat["y0"])
+    mask = jnp.asarray(mat["mask"]).reshape(-1, 1, s, s).astype(bool)
+    gt = jnp.asarray(mat["gt"], jnp.float32).reshape(-1, 1, s, s)
+    b = x.shape[0]
+    return CSMRIState(
+        x=x, z=x, u=jnp.zeros_like(x), mask=mask, y0=y0, gt=gt,
+        T=jnp.zeros((b,), jnp.float32), done=jnp.zeros((b,), bool))
+
+
+def _per_slice(value, b: int) -> jnp.ndarray:
+    """Broadcast an action component (scalar or per-slice) to shape (B,)."""
+    return jnp.broadcast_to(
+        jnp.asarray(value, jnp.float32).reshape(-1), (b,))
+
+
+def admm_step(denoise: DenoiseFn, state: CSMRIState, action: Action,
+              done_threshold: float = 0.5) -> CSMRIState:
+    """One masked PnP-ADMM iteration. Where ``done`` (or the stop action
+    ``T > 0.5`` fires, env.py:79-83) the slice is frozen instead of
+    early-returned, so the step is batch-uniform and scan-able."""
+    b = state.batch
+    t_act = _per_slice(action["T"], b)
+    mu = _per_slice(action["mu"], b)
+    sigma_d = _per_slice(action["sigma_d"], b)
+
+    stop_now = t_act > done_threshold
+    active = ~(state.done | stop_now)
+
+    # Denoiser runs in NHWC (TPU conv layout); state is (B, 1, H, W).
+    img = jnp.real(state.z - state.u)
+    den = denoise(jnp.moveaxis(img, 1, -1), sigma_d)
+    x_new = jnp.moveaxis(den, -1, 1).astype(jnp.complex64)
+
+    z_k = fft2c(x_new + state.u)
+    z_k = kspace_consistency(z_k, state.y0, state.mask,
+                             mu[:, None, None, None])
+    z_new = ifft2c(z_k)
+    u_new = state.u + x_new - z_new
+
+    keep = active[:, None, None, None]
+    return state.replace(
+        x=jnp.where(keep, x_new, state.x),
+        z=jnp.where(keep, z_new, state.z),
+        u=jnp.where(keep, u_new, state.u),
+        T=jnp.where(active, state.T + 1.0 / 30.0, state.T),
+        done=state.done | stop_now)
+
+
+def compute_reward(state: CSMRIState) -> jnp.ndarray:
+    """PSNR of the current estimate vs ground truth, (B, 1)
+    (env.py:112-116). Stays on device — no host transfer in the hot loop."""
+    return psnr(jnp.real(state.x), state.gt)
+
+
+def get_policy_ob(state: CSMRIState) -> jnp.ndarray:
+    """Flattened real part of x, (B, H*W) (env.py:102-109)."""
+    return jnp.real(state.x).reshape(state.batch, -1)
+
+
+def fixed_param_rollout(denoise: DenoiseFn, state: CSMRIState,
+                        mu: float, sigma_d: float, n_iters: int = 30
+                        ) -> Tuple[CSMRIState, jnp.ndarray]:
+    """Fixed-parameter PnP-ADMM: ``n_iters`` iterations in one lax.scan.
+
+    This is BASELINE.json config 1 (the minimum end-to-end slice) and the
+    headline-bench inner loop. Returns the final state and per-iteration
+    PSNR history (n_iters, B, 1).
+    """
+    action = {"T": jnp.zeros((state.batch,)), "mu": jnp.asarray(mu),
+              "sigma_d": jnp.asarray(sigma_d)}
+
+    def body(s, _):
+        s = admm_step(denoise, s, action)
+        return s, compute_reward(s)
+
+    return jax.lax.scan(body, state, None, length=n_iters)
+
+
+@dataclasses.dataclass
+class PnPEnv:
+    """Convenience OO wrapper bundling the denoiser apply fn + params,
+    mirroring the reference's class surface (env.py:30-117) on top of the
+    pure functions above."""
+    denoiser_apply: Callable
+    denoiser_params: Any
+    max_episode_step: int = 30
+    image_size: int = 128
+
+    def denoise(self, img: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
+        return self.denoiser_apply({"params": self.denoiser_params}, img,
+                                   sigma)
+
+    def reset(self, mat: Mapping[str, Any]) -> CSMRIState:
+        return reset_from_mat(mat, self.image_size)
+
+    def step(self, state: CSMRIState, action: Action
+             ) -> Tuple[CSMRIState, jnp.ndarray]:
+        new = admm_step(self.denoise, state, action)
+        return new, new.done
+
+    @staticmethod
+    def get_policy_ob(state: CSMRIState) -> jnp.ndarray:
+        return get_policy_ob(state)
+
+    @staticmethod
+    def compute_reward(state: CSMRIState) -> jnp.ndarray:
+        return compute_reward(state)

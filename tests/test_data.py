@@ -1,0 +1,150 @@
+"""Dataset tests on synthetic json/h5/mat fixtures (SURVEY.md §4 item 4):
+window cropping, zero-pad + masks, task tokenization, RTG normalization."""
+import json
+import os
+
+import h5py
+import numpy as np
+import pytest
+from scipy.io import savemat
+
+from dt4image_restoration_tpu.config import (
+    FLEX_TASKS, OPTIMAL_RTG_RANGE, OPTIMAL_TASKS)
+from dt4image_restoration_tpu.data import (
+    EvaluationDataset, TrainingDataset, extract_task, make_mat_record)
+
+
+@pytest.fixture
+def traj_dir(tmp_path, rng):
+    """Synthetic trajectory jsons + h5 states matching the reference layout
+    (datasets.py:49-54,85-132): state paths whose first 10 chars are
+    stripped to form the h5 key."""
+    h5_path = tmp_path / "states.h5"
+    data_dir = tmp_path / "trajs"
+    os.makedirs(data_dir)
+    with h5py.File(h5_path, "w") as f:
+        for traj_idx, length in enumerate([4, 6, 9]):
+            paths = []
+            for t in range(length):
+                key = f"traj{traj_idx}/state{t}"
+                f.create_dataset(
+                    key, data=rng.integers(0, 256, (128, 128)).astype(
+                        np.uint8))
+                paths.append("0123456789" + key)  # 10-char prefix stripped
+            traj = {
+                "RTG": list(np.linspace(5, 0, length)),
+                "Actions": {
+                    "T": list(rng.uniform(0, 1, length)),
+                    "sigma_d": list(rng.uniform(0, 1, length)),
+                    "mu": list(rng.uniform(0, 1, length)),
+                },
+                "State Paths": paths,
+                "Task": "4x_10",
+            }
+            with open(data_dir / f"traj_{traj_idx}.json", "w") as jf:
+                json.dump(traj, jf)
+    return str(data_dir), str(h5_path)
+
+
+def _make_ds(traj_dir, block_size=6, normalize=True):
+    data_dir, h5_path = traj_dir
+    lo, hi = OPTIMAL_RTG_RANGE
+    return TrainingDataset(
+        block_size=block_size, data_dir=data_dir, action_dim=3,
+        state_file_path=h5_path, tasks=OPTIMAL_TASKS,
+        min_rtg=lo, max_rtg=hi, normalize_rtg=normalize,
+        rng=np.random.default_rng(0))
+
+
+def test_training_shapes_and_padding(traj_dir):
+    ds = _make_ds(traj_dir)
+    assert len(ds) == 3
+    # traj 0 has length 4 < block 6 -> zero-pad + mask.
+    states, actions, rtg, masks, timesteps, task = ds[0]
+    assert states.shape == (6, 128 * 128)
+    assert actions.shape == (6, 3)
+    assert rtg.shape == (6, 1) and masks.shape == (6, 1)
+    np.testing.assert_array_equal(masks[:, 0], [1, 1, 1, 1, 0, 0])
+    np.testing.assert_array_equal(states[4:], 0)
+    np.testing.assert_array_equal(actions[4:], 0)
+    np.testing.assert_array_equal(timesteps[:, 0], np.arange(6))
+    np.testing.assert_array_equal(task, OPTIMAL_TASKS.index("4x_10"))
+
+
+def test_training_exact_length_window(traj_dir):
+    ds = _make_ds(traj_dir)
+    # traj 1 has length 6 == block -> start 0, full mask.
+    _, _, _, masks, timesteps, _ = ds[1]
+    np.testing.assert_array_equal(masks[:, 0], 1)
+    np.testing.assert_array_equal(timesteps[:, 0], np.arange(6))
+
+
+def test_training_window_crop(traj_dir):
+    ds = _make_ds(traj_dir)
+    # traj 2 has length 9 > block 6 -> random window, timesteps offset.
+    _, _, _, masks, timesteps, _ = ds[2]
+    np.testing.assert_array_equal(masks[:, 0], 1)
+    start = int(timesteps[0, 0])
+    assert 0 <= start < 3
+    np.testing.assert_array_equal(timesteps[:, 0],
+                                  np.arange(start, start + 6))
+
+
+def test_training_rtg_normalization(traj_dir):
+    lo, hi = OPTIMAL_RTG_RANGE
+    raw = _make_ds(traj_dir, normalize=False)[1][2]
+    norm = _make_ds(traj_dir, normalize=True)[1][2]
+    np.testing.assert_allclose(norm, (raw - lo) / (hi - lo), rtol=1e-5)
+
+
+def test_training_states_normalized_by_255(traj_dir):
+    states, *_ = _make_ds(traj_dir)[1]
+    assert states.max() <= 1.0 and states.min() >= 0.0
+
+
+def test_training_batches(traj_dir):
+    ds = _make_ds(traj_dir)
+    batches = list(ds.batches(batch_size=2, seed=0))
+    assert len(batches) == 1  # 3 trajs, drop remainder
+    b = batches[0]
+    assert b["states"].shape == (2, 6, 128 * 128)
+    assert b["task"].shape == (2, 6)
+
+
+def test_extract_task():
+    assert extract_task("file_4_15_slice3.mat") == "4_15"
+    assert extract_task("8_5.mat") == "8_5"
+    with pytest.raises(ValueError):
+        extract_task("nopattern.mat")
+
+
+@pytest.fixture
+def mat_dir(tmp_path):
+    d = tmp_path / "4_15"
+    os.makedirs(d)
+    for i in range(2):
+        savemat(d / f"img_4_15_s{i}.mat", make_mat_record(seed=i))
+    return str(d)
+
+
+def test_eval_dataset_optimal(mat_dir):
+    ds = EvaluationDataset(mat_dir, rtg_target=10.0, kind="optimal")
+    assert len(ds) == 2
+    (states, rtg, actions, task), mat = ds[0]
+    assert states.shape == (1, 128 * 128)
+    lo, hi = OPTIMAL_RTG_RANGE
+    np.testing.assert_allclose(rtg[0, 0], (10.0 - lo) / (hi - lo),
+                               rtol=1e-5)
+    np.testing.assert_array_equal(actions, 0)
+    assert int(task[0]) == OPTIMAL_TASKS.index("4x_15")
+    assert (mat["x0"] >= 0).all()  # clipped at 0 (datasets.py:199)
+    assert states.min() >= 0
+
+
+def test_eval_dataset_flex_task_token(mat_dir):
+    ds = EvaluationDataset(mat_dir, rtg_target=3, kind="flex")
+    (_, _, _, task), _ = ds[0]
+    assert int(task[0]) == FLEX_TASKS.index("rtg_3")
+    ds = EvaluationDataset(mat_dir, rtg_target=4.5, kind="flex")
+    (_, _, _, task), _ = ds[0]
+    assert int(task[0]) == FLEX_TASKS.index("rtg_4.5")
