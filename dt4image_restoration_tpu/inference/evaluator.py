@@ -1,0 +1,262 @@
+"""Greedy RTG-conditioned autoregressive evaluation.
+
+Behavioral parity with /root/reference/evaluation/eval.py, redesigned as one
+jitted program: env step + the two DT forwards fuse into a single
+``lax.scan`` iteration (the north-star loop), batched over images instead of
+the reference's one-image Python loop.
+
+Replicated reference quirks (load-bearing for output parity):
+  * sliding window: ``[:ctx]`` while ``t < ctx`` else ``[t-ctx:t]``
+    (eval.py:150-184) — the freshly-written action at slot ``t`` is visible
+    to the RTG forward only while ``t < ctx``.
+  * latest-index selection: action read at ``min(t, ctx-1)``
+    (``_get_latest_action``, eval.py:39-50); RTG read at ``t`` while
+    ``t < ctx`` else at ``ctx-2`` (``_get_latest_rtg`` with ``index=t+1``,
+    eval.py:53-60 — for ``t >= ctx`` the reference takes ``[-1 - 1]``, the
+    second-to-last position).
+  * the initial RTG forward passes 2-D slices where 3-D is expected
+    (eval.py:89-95), which torch broadcasting turns into all-zero RTG and
+    action token streams; we reproduce that with explicit zeros.
+  * early stop when the policy emits ``T > 0.5`` becomes a done mask carried
+    through the scan (no Python break), freezing the slice.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time as _time
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from dt4image_restoration_tpu.config import ModelConfig
+from dt4image_restoration_tpu.data.datasets import EvaluationDataset
+from dt4image_restoration_tpu.env.pnp import (
+    CSMRIState, admm_step, compute_reward, get_policy_ob, reset_from_mat)
+
+
+class EvalBuffers(struct.PyTreeNode):
+    """Fixed-size rolling policy buffers (one per image in the batch),
+    mirroring eval.py:62-70."""
+    states: jnp.ndarray   # (B, maxT, H*W)
+    actions: jnp.ndarray  # (B, maxT, action_dim)
+    rtg: jnp.ndarray      # (B, maxT, 1)
+    task: jnp.ndarray     # (B,) int32
+
+
+def make_policy_step(dt_apply: Callable, cfg: ModelConfig):
+    """Build ``policy_step(params, bufs, t)``: the two DT forwards of
+    ``predict_action_and_rtg`` (eval.py:146-186) on a ctx-length window.
+
+    Returns ``(action_vec (B, A), action_dict {k: (B,)}, pred_rtg (B,),
+    updated buffers)`` with the new action written at slot ``t``.
+    Pure + jittable; ``t`` may be a traced scalar.
+    """
+    ctx = cfg.context_length
+
+    def window(buf, start):
+        return jax.lax.dynamic_slice_in_dim(buf, start, ctx, axis=1)
+
+    def policy_step(params, bufs: EvalBuffers, t):
+        t = jnp.asarray(t, jnp.int32)
+        b = bufs.states.shape[0]
+        start = jnp.maximum(t - ctx, 0)
+        timesteps = start + jnp.arange(ctx, dtype=jnp.int32)[None, :]
+        timesteps = jnp.broadcast_to(timesteps, (b, ctx))
+        task = jnp.broadcast_to(bufs.task[:, None], (b, ctx))
+
+        out = dt_apply(params, window(bufs.rtg, start),
+                       window(bufs.states, start), timesteps, task,
+                       window(bufs.actions, start))
+        read_idx = jnp.minimum(t, ctx - 1)
+        action_vec = jnp.take(out.pred_actions, read_idx, axis=1)
+        action_dict = {k: jnp.take(v, read_idx, axis=1)[:, 0]
+                       for k, v in out.action_dict.items()}
+
+        actions = jax.lax.dynamic_update_slice_in_dim(
+            bufs.actions, action_vec[:, None, :], t, axis=1)
+        bufs = bufs.replace(actions=actions)
+
+        out2 = dt_apply(params, window(bufs.rtg, start),
+                        window(bufs.states, start), timesteps, task,
+                        window(bufs.actions, start))
+        rtg_idx = jnp.where(t < ctx, jnp.minimum(t, ctx - 1), ctx - 2)
+        pred_rtg = jnp.take(out2.pred_rtg, rtg_idx, axis=1)[:, 0]
+        return action_vec, action_dict, pred_rtg, bufs
+
+    return policy_step
+
+
+def initial_policy_setup(dt_apply: Callable, cfg: ModelConfig, params,
+                         policy_x0: jnp.ndarray, rtg0: jnp.ndarray,
+                         task: jnp.ndarray, max_timesteps: int
+                         ) -> Tuple[EvalBuffers, jnp.ndarray,
+                                    Dict[str, jnp.ndarray], jnp.ndarray]:
+    """Seed the buffers and produce the first action + first RTG prediction
+    (eval.py:62-100).
+
+    The first action comes from a two-token (RTG, state) forward; the first
+    RTG prediction from a three-token forward whose RTG and action streams
+    are all zeros (the reference's accidental-broadcast behavior,
+    eval.py:89-95).
+    """
+    b, s = policy_x0.shape
+    ctx = cfg.context_length
+    bufs = EvalBuffers(
+        states=jnp.zeros((b, max_timesteps, s)).at[:, 0].set(policy_x0),
+        actions=jnp.zeros((b, max_timesteps, cfg.action_dim)),
+        rtg=jnp.zeros((b, max_timesteps, 1)).at[:, 0].set(
+            rtg0.reshape(b, 1)),
+        task=task.reshape(b).astype(jnp.int32))
+
+    timesteps = jnp.broadcast_to(
+        jnp.arange(ctx, dtype=jnp.int32)[None, :], (b, ctx))
+    task_w = jnp.broadcast_to(bufs.task[:, None], (b, ctx))
+
+    out = dt_apply(params, bufs.rtg[:, :ctx], bufs.states[:, :ctx],
+                   timesteps, task_w, None)
+    action_vec = out.pred_actions[:, 0]
+    action_dict = {k: v[:, 0, 0] for k, v in out.action_dict.items()}
+    bufs = bufs.replace(actions=bufs.actions.at[:, 0].set(action_vec))
+
+    out2 = dt_apply(params, jnp.zeros((b, ctx, 1)), bufs.states[:, :ctx],
+                    timesteps, task_w, jnp.zeros((b, ctx, cfg.action_dim)))
+    pred_rtg = out2.pred_rtg[:, 0, 0]
+    return bufs, action_vec, action_dict, pred_rtg
+
+
+def greedy_rollout(dt_apply: Callable, denoise: Callable, cfg: ModelConfig,
+                   params, env_state: CSMRIState, bufs: EvalBuffers,
+                   action_dict: Dict[str, jnp.ndarray],
+                   pred_rtg: jnp.ndarray, max_timesteps: int,
+                   start_time: int = 1
+                   ) -> Tuple[CSMRIState, jnp.ndarray, jnp.ndarray,
+                              EvalBuffers]:
+    """The greedy env/policy loop (eval.py:189-220) as one ``lax.scan``.
+
+    Returns ``(final_env_state, reward (B, 1), episode_len (B,), buffers)``.
+    ``episode_len`` is the reference's returned ``time`` — the iteration at
+    which the episode finished (stop action or ``max_timesteps``).
+    """
+    policy_step = make_policy_step(dt_apply, cfg)
+
+    def body(carry, t):
+        env_state, bufs, action_dict, pred_rtg, finished, ep_len = carry
+
+        env_state = admm_step(denoise, env_state, action_dict)
+        finished_now = env_state.done | (t == max_timesteps)
+        newly = finished_now & ~finished
+        ep_len = jnp.where(newly, t, ep_len)
+        finished = finished | finished_now
+
+        # Buffer writes + policy prediction are masked where finished
+        # (the reference returns before them, eval.py:206-218).
+        live = ~finished
+        ob = get_policy_ob(env_state)
+        old_s = jnp.take(bufs.states, t, axis=1)
+        old_r = jnp.take(bufs.rtg, t, axis=1)
+        bufs = bufs.replace(
+            states=jax.lax.dynamic_update_slice_in_dim(
+                bufs.states,
+                jnp.where(live[:, None], ob, old_s)[:, None], t, axis=1),
+            rtg=jax.lax.dynamic_update_slice_in_dim(
+                bufs.rtg,
+                jnp.where(live[:, None], pred_rtg[:, None], old_r)[:, None],
+                t, axis=1))
+
+        old_actions = bufs.actions
+        _, new_dict, new_rtg, bufs = policy_step(params, bufs, t)
+        bufs = bufs.replace(actions=jnp.where(
+            live[:, None, None], bufs.actions, old_actions))
+        action_dict = {k: jnp.where(live, new_dict[k], action_dict[k])
+                       for k in action_dict}
+        pred_rtg = jnp.where(live, new_rtg, pred_rtg)
+
+        return (env_state, bufs, action_dict, pred_rtg, finished, ep_len), None
+
+    b = env_state.batch
+    init = (env_state, bufs, action_dict, pred_rtg,
+            jnp.zeros((b,), bool), jnp.full((b,), max_timesteps, jnp.int32))
+    ts = jnp.arange(start_time, max_timesteps + 1, dtype=jnp.int32)
+    (env_state, bufs, *_ , ep_len), _ = jax.lax.scan(body, init, ts)
+    reward = compute_reward(env_state)
+    return env_state, reward, ep_len, bufs
+
+
+@dataclasses.dataclass
+class Evaluator:
+    """High-level evaluation driver matching the reference CLI surface
+    (eval.py:7-236): per-dataset-directory loop, metrics over the first
+    ``report_every`` images, greedy rollout per image — but images run as a
+    single batched, jitted rollout on device.
+    """
+    dt_apply: Callable
+    dt_params: Any
+    denoise: Callable
+    cfg: ModelConfig
+    max_timesteps: int = 30
+    rtg_target: float = 10.0
+    eval_type: str = "norm"
+    report_every: int = 7
+
+    def __post_init__(self):
+        cfg = self.cfg
+
+        def run(params, policy_x0, rtg0, task, env_state):
+            bufs, _, action_dict, pred_rtg = initial_policy_setup(
+                self.dt_apply, cfg, params, policy_x0, rtg0, task,
+                self.max_timesteps)
+            final, reward, ep_len, _ = greedy_rollout(
+                self.dt_apply, self.denoise, cfg, params, env_state, bufs,
+                action_dict, pred_rtg, self.max_timesteps)
+            return final, reward, ep_len
+
+        self._run_batch = jax.jit(run)
+
+    def evaluate_records(self, records: Sequence[Tuple[Any, Any]]):
+        """Evaluate a list of ``((states, rtg, actions, task), mat)`` items
+        (one batched device program). Returns a metrics dict."""
+        policy_x0 = jnp.concatenate(
+            [jnp.asarray(r[0][0]) for r in records])
+        rtg0 = jnp.stack([jnp.asarray(r[0][1]).reshape(()) for r in records])
+        task = jnp.stack(
+            [jnp.asarray(r[0][3]).reshape(()) for r in records])
+        mats = {k: np.concatenate([np.asarray(r[1][k]) for r in records])
+                for k in ("x0", "y0", "mask", "gt")}
+        env_state = reset_from_mat(mats)
+        old_reward = compute_reward(env_state)
+
+        t0 = _time.perf_counter()
+        final, reward, ep_len = self._run_batch(
+            self.dt_params, policy_x0, rtg0, task, env_state)
+        reward.block_until_ready()
+        wall = _time.perf_counter() - t0
+
+        reward = np.asarray(reward)[:, 0]
+        old = np.asarray(old_reward)[:, 0]
+        return {
+            "reward": reward,
+            "increment": reward - old,
+            "episode_len": np.asarray(ep_len),
+            "wall_time_s": wall,
+            "final_state": final,
+        }
+
+    def run(self, eval_paths: Sequence[str]) -> float:
+        """Per-directory evaluation; prints the same aggregates as the
+        reference (eval.py:137-143) and returns total PSNR increment."""
+        total_increment = 0.0
+        for path in eval_paths:
+            ds = EvaluationDataset(
+                path, rtg_target=self.rtg_target,
+                kind="flex" if self.eval_type == "flex" else "optimal")
+            n = min(len(ds), self.report_every)
+            records = [ds[i] for i in range(n)]
+            m = self.evaluate_records(records)
+            print("Average iter, ", float(np.mean(m["episode_len"])))
+            print("Average reward, ", float(np.mean(m["reward"])))
+            print("PSNR increment ", float(np.mean(m["increment"])))
+            total_increment += float(np.mean(m["increment"]))
+        return total_increment

@@ -1,0 +1,166 @@
+"""Integration tests: the fused scan-based greedy rollout must reproduce a
+transparent Python re-statement of the reference evaluation loop
+(eval.py:62-220), including window switching, latest-index reads, the
+initial broadcast quirk, and early stopping."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dt4image_restoration_tpu.config import ModelConfig
+from dt4image_restoration_tpu.data import make_mat_record
+from dt4image_restoration_tpu.env import admm_step, compute_reward, \
+    get_policy_ob, reset_from_mat
+from dt4image_restoration_tpu.inference import (
+    Evaluator, greedy_rollout, initial_policy_setup, make_policy_step)
+from dt4image_restoration_tpu.models import DecisionTransformer
+from dt4image_restoration_tpu.models.decision_transformer import init_dt_params
+
+CFG = ModelConfig(block_size=18, n_embeds=9, mode="norm")
+MAXT = 10  # short episodes keep the CPU test fast; indexing logic is t<6 vs >=6
+
+
+def dt_apply(params, rtg, states, timesteps, task, actions):
+    return DecisionTransformer(CFG).apply(
+        {"params": params}, rtg, states, timesteps, task, actions)
+
+
+def stub_denoise(img, sigma):
+    return jnp.clip(0.8 * img + 0.1, 0.0, 1.0)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_dt_params(CFG, seed=0)
+
+
+def _reference_loop(params, record, max_timesteps):
+    """Reference eval semantics restated step-by-step with numpy buffers."""
+    (states0, rtg0, _, task0), mat = record
+    ctx = CFG.context_length
+    S = 128 * 128
+    states = np.zeros((1, max_timesteps, S), np.float32)
+    actions = np.zeros((1, max_timesteps, 3), np.float32)
+    rtg = np.zeros((1, max_timesteps, 1), np.float32)
+    states[0, 0] = states0
+    rtg[0, 0] = rtg0
+    task = np.full((1, ctx), task0[0], np.int32)
+    ts = np.arange(ctx, dtype=np.int32)[None]
+
+    # First action: two-token forward, index 0 (eval.py:78-87).
+    out = dt_apply(params, rtg[:, :ctx], states[:, :ctx], ts, task, None)
+    actions[0, 0] = np.asarray(out.pred_actions[0, 0])
+    action_dict = {k: float(v[0, 0, 0]) for k, v in out.action_dict.items()}
+
+    # First RTG: zero rtg/action streams (broadcast quirk, eval.py:89-98).
+    out = dt_apply(params, jnp.zeros((1, ctx, 1)), states[:, :ctx], ts,
+                   task, jnp.zeros((1, ctx, 3)))
+    pred_rtg = float(out.pred_rtg[0, 0, 0])
+
+    env = reset_from_mat(mat)
+
+    for t in range(1, max_timesteps + 1):
+        if action_dict["T"] > 0.5:
+            done = True
+        else:
+            done = False
+            env = admm_step(stub_denoise, env, action_dict)
+        if t == max_timesteps or done:
+            reward = float(compute_reward(env)[0, 0])
+            return reward, t, np.asarray(env.x)
+
+        states[0, t] = np.asarray(get_policy_ob(env)[0])
+        rtg[0, t] = pred_rtg
+
+        lo = 0 if t < ctx else t - ctx
+        hi = ctx if t < ctx else t
+        w_ts = np.arange(lo, hi, dtype=np.int32)[None]
+        out = dt_apply(params, rtg[:, lo:hi], states[:, lo:hi], w_ts, task,
+                       actions[:, lo:hi])
+        idx = t if t < ctx else ctx - 1
+        actions[0, t] = np.asarray(out.pred_actions[0, idx])
+        action_dict = {k: float(v[0, idx, 0])
+                       for k, v in out.action_dict.items()}
+        out = dt_apply(params, rtg[:, lo:hi], states[:, lo:hi], w_ts, task,
+                       actions[:, lo:hi])
+        rtg_idx = t if t < ctx else ctx - 2
+        pred_rtg = float(out.pred_rtg[0, rtg_idx, 0])
+
+
+def _fused_rollout(params, records, max_timesteps):
+    policy_x0 = jnp.concatenate([jnp.asarray(r[0][0]) for r in records])
+    rtg0 = jnp.stack([jnp.asarray(r[0][1]).reshape(()) for r in records])
+    task = jnp.stack([jnp.asarray(r[0][3]).reshape(()) for r in records])
+    mats = {k: np.concatenate([np.asarray(r[1][k]) for r in records])
+            for k in ("x0", "y0", "mask", "gt")}
+    env_state = reset_from_mat(mats)
+    bufs, _, action_dict, pred_rtg = initial_policy_setup(
+        dt_apply, CFG, params, policy_x0, rtg0, task, max_timesteps)
+    return greedy_rollout(dt_apply, stub_denoise, CFG, params, env_state,
+                          bufs, action_dict, pred_rtg, max_timesteps)
+
+
+def test_fused_rollout_matches_reference_loop(params):
+    records = [
+        (lambda ds: ((
+            np.clip(ds["x0"], 0, None)[..., 0].reshape(1, -1).astype(
+                np.float32),
+            np.full((1, 1), 0.6, np.float32),
+            np.zeros(3, np.float32),
+            np.asarray([i], np.int32)),
+            {k: np.clip(v, 0, None) if k == "x0" else v
+             for k, v in ds.items()}))(make_mat_record(seed=i))
+        for i in range(2)]
+
+    final, reward, ep_len, _ = _fused_rollout(params, records, MAXT)
+
+    for i, rec in enumerate(records):
+        ref_reward, ref_t, ref_x = _reference_loop(params, rec, MAXT)
+        assert int(ep_len[i]) == ref_t, (i, int(ep_len[i]), ref_t)
+        np.testing.assert_allclose(float(reward[i, 0]), ref_reward,
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(final.x[i:i + 1]), ref_x,
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_policy_step_window_switch(params):
+    """policy_step at t >= ctx must exclude the just-written action from the
+    RTG forward (window [t-ctx, t)), at t < ctx include it."""
+    policy_step = make_policy_step(dt_apply, CFG)
+    rng = np.random.default_rng(0)
+    from dt4image_restoration_tpu.inference import EvalBuffers
+    bufs = EvalBuffers(
+        states=jnp.asarray(rng.uniform(0, 1, (1, MAXT, 128 * 128)),
+                           jnp.float32),
+        actions=jnp.asarray(rng.uniform(0, 1, (1, MAXT, 3)), jnp.float32),
+        rtg=jnp.asarray(rng.uniform(0, 1, (1, MAXT, 1)), jnp.float32),
+        task=jnp.zeros((1,), jnp.int32))
+
+    for t in (2, 7):
+        a_vec, a_dict, p_rtg, new_bufs = policy_step(params, bufs, t)
+        # new action written at slot t
+        np.testing.assert_allclose(np.asarray(new_bufs.actions[0, t]),
+                                   np.asarray(a_vec[0]), rtol=1e-6)
+        # all other slots untouched
+        mask = np.ones(MAXT, bool); mask[t] = False
+        np.testing.assert_array_equal(
+            np.asarray(new_bufs.actions[0, mask]),
+            np.asarray(bufs.actions[0, mask]))
+        assert set(a_dict) == {"T", "sigma_d", "mu"}
+
+
+def test_evaluator_end_to_end(tmp_path, params):
+    """Evaluator.run over a synthetic .mat directory prints aggregates and
+    returns a finite increment."""
+    import os
+    from scipy.io import savemat
+    d = tmp_path / "4_15"
+    os.makedirs(d)
+    for i in range(3):
+        savemat(d / f"img_4_15_s{i}.mat", make_mat_record(seed=i))
+
+    ev = Evaluator(dt_apply=dt_apply, dt_params=params,
+                   denoise=stub_denoise, cfg=CFG, max_timesteps=MAXT,
+                   rtg_target=10.0, report_every=3)
+    inc = ev.run([str(d)])
+    assert np.isfinite(inc)
