@@ -220,6 +220,28 @@ def transform_actions(raw: jnp.ndarray, mode: str
     return out, action_dict
 
 
+def make_dt_apply(cfg: ModelConfig, train: bool = False):
+    """Bind a DecisionTransformer into a pure apply function.
+
+    Inference signature: ``(params, rtg, states, timesteps, task, actions)``.
+    Training signature adds a trailing dropout rng and enables dropout.
+    """
+    model = DecisionTransformer(cfg)
+
+    if train:
+        def apply_train(params, rtg, states, timesteps, task, actions,
+                        dropout_rng):
+            return model.apply({"params": params}, rtg, states, timesteps,
+                               task, actions, deterministic=False,
+                               rngs={"dropout": dropout_rng})
+        return apply_train
+
+    def apply_eval(params, rtg, states, timesteps, task, actions):
+        return model.apply({"params": params}, rtg, states, timesteps,
+                           task, actions)
+    return apply_eval
+
+
 def init_dt_params(cfg: ModelConfig, seed: int = 0):
     """Initialize DT parameters (weight init N(0, 0.02), zero biases,
     unit LayerNorm — decision_transformer.py:157-164)."""

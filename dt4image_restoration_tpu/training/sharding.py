@@ -1,0 +1,135 @@
+"""Distributed training over the TPU mesh.
+
+The lawful JAX replacement for the reference's NCCL DDP stack
+(main.py:43-52, train.py:50-53, DistributedSampler main.py:62):
+
+  * ``make_mesh`` — a (data, model) ``jax.sharding.Mesh`` over ICI
+  * ``make_train_step`` — one jitted, donated update; batch sharded over the
+    data axis, params replicated (or tensor-parallel over the model axis for
+    the transformer MLP/attention projections); XLA GSPMD inserts the
+    gradient all-reduces that DDP did explicitly
+  * ``make_shard_map_train_step`` — an explicit ``shard_map`` + ``psum``
+    data-parallel variant, kept as an independently-testable reference of
+    the collective semantics
+  * ``shard_batch`` — host batch -> device shards
+    (replaces DistributedSampler)
+
+The DT is ~1.3M params on 18-token sequences, so pure DP is the production
+configuration (SURVEY.md: parallelism checklist); TP exists for scale-out
+headroom and is exercised by the multichip dry run.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from dt4image_restoration_tpu.training.trainer import TrainState, loss_fn
+
+BATCH_AXES = {
+    "states": P("data"), "actions": P("data"), "rtg": P("data"),
+    "traj_masks": P("data"), "timesteps": P("data"), "task": P("data"),
+}
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices=None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    devices = np.asarray(devices[:n_data * n_model]).reshape(
+        n_data, n_model)
+    return Mesh(devices, axis_names=("data", "model"))
+
+
+def param_partition_spec(params, tensor_parallel: bool) -> Any:
+    """PartitionSpecs for the DT param tree: replicated by default; with
+    ``tensor_parallel`` the transformer MLP and attention projections shard
+    Megatron-style over the model axis (column-parallel fc/qkv,
+    row-parallel proj)."""
+    def spec(path, leaf):
+        if not tensor_parallel:
+            return P()
+        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        if "kernel" in names and leaf.ndim == 2:
+            if any(n in ("fc", "qkv_proj") for n in names):
+                return P(None, "model")
+            if any(n in ("fc_proj", "o_proj") for n in names):
+                return P("model", None)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def shard_params(params, mesh: Mesh, tensor_parallel: bool = False):
+    specs = param_partition_spec(params, tensor_parallel)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, specs)
+
+
+def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh
+                ) -> Dict[str, jnp.ndarray]:
+    """Place a host batch with the leading axis sharded over 'data'."""
+    return {k: jax.device_put(np.asarray(v),
+                              NamedSharding(mesh, BATCH_AXES[k]))
+            for k, v in batch.items()}
+
+
+def make_train_step(dt_apply: Callable, optimizer: optax.
+                    GradientTransformation) -> Callable:
+    """One fused update: forward, masked MSE, backward, clip, AdamW — the
+    whole `_run_batch` body (train.py:75-119) as a single donated XLA
+    program. Gradient cross-device reduction is inserted by GSPMD from the
+    batch/param shardings."""
+    def step(state: TrainState, batch, rng):
+        loss, grads = jax.value_and_grad(
+            lambda p: loss_fn(dt_apply, p, batch, rng))(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params=params, opt_state=opt_state,
+                          step=state.step + 1), loss
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_shard_map_train_step(dt_apply: Callable,
+                              optimizer: optax.GradientTransformation,
+                              mesh: Mesh) -> Callable:
+    """Explicit-collective data-parallel step: per-shard grads + ``psum``
+    over the data axis, optimizer applied to replicated params — the direct
+    analogue of DDP's bucketed all-reduce (train.py:53,96)."""
+    def per_shard(params, batch, rng):
+        loss, grads = jax.value_and_grad(
+            lambda p: loss_fn(dt_apply, p, batch, rng))(params)
+        # Per-shard masked means are weighted by each shard's valid-position
+        # count so the psum equals the global masked mean.
+        weight = jnp.sum(batch["traj_masks"]) * batch["actions"].shape[-1] \
+            + jnp.sum(batch["traj_masks"])
+        total_w = jax.lax.psum(weight, "data")
+        scale = weight / total_w
+        grads = jax.lax.psum(jax.tree.map(lambda g: g * scale, grads),
+                             "data")
+        loss = jax.lax.psum(loss * scale, "data")
+        return grads, loss
+
+    mapped = shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P(), BATCH_AXES, P()),
+        out_specs=(P(), P()))
+
+    def step(state: TrainState, batch, rng):
+        grads, loss = mapped(state.params, batch, rng)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params=params, opt_state=opt_state,
+                          step=state.step + 1), loss
+
+    return jax.jit(step, donate_argnums=(0,))

@@ -1,0 +1,144 @@
+"""Training tests: LR schedule parity, weight-decay mask split, masked loss
+semantics, loss decrease on synthetic data, and shard_map-vs-single-device
+gradient equivalence on the virtual 8-device CPU mesh (SURVEY.md §4 item 6)."""
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from dt4image_restoration_tpu.config import ModelConfig, TrainerConfig
+from dt4image_restoration_tpu.models.decision_transformer import (
+    init_dt_params, make_dt_apply)
+from dt4image_restoration_tpu.training import (
+    TrainState, make_lr_schedule, make_mesh, make_optimizer,
+    make_shard_map_train_step, make_train_step, masked_mse_loss, shard_batch)
+from dt4image_restoration_tpu.training.sharding import (
+    make_shard_map_train_step, shard_params)
+from dt4image_restoration_tpu.training.trainer import _decay_mask, loss_fn
+
+CFG = ModelConfig(block_size=18, n_embeds=9, mode="norm", dropout=0.0,
+                  embd_dropout=0.0)
+
+
+def _batch(rng, b=8, t=6):
+    return {
+        "states": rng.uniform(0, 1, (b, t, 128 * 128)).astype(np.float32),
+        "actions": rng.uniform(0, 1, (b, t, 3)).astype(np.float32),
+        "rtg": rng.uniform(0, 1, (b, t, 1)).astype(np.float32),
+        "traj_masks": np.concatenate(
+            [np.ones((b, t - 2, 1)), np.zeros((b, 2, 1))],
+            axis=1).astype(np.float32),
+        "timesteps": np.broadcast_to(
+            np.arange(t, dtype=np.int32)[None, :, None], (b, t, 1)).copy(),
+        "task": rng.integers(0, 9, (b, t)).astype(np.int32),
+    }
+
+
+def test_lr_schedule_matches_reference():
+    """train.py:106-119: step/warmup then cosine with 0.1 floor."""
+    cfg = TrainerConfig(warmup_steps=10, learning_rate=3e-4)
+    sched = make_lr_schedule(cfg, max_steps=100)
+    np.testing.assert_allclose(float(sched(5)), 3e-4 * 5 / 10, rtol=1e-6)
+    np.testing.assert_allclose(
+        float(sched(50)), 3e-4 * max(0.1, 0.5 * (1 + math.cos(math.pi * 0.5))),
+        rtol=1e-5)
+    np.testing.assert_allclose(float(sched(99)), 3e-4 * 0.1, rtol=1e-5)
+
+
+def test_decay_mask_split():
+    params = init_dt_params(CFG, seed=0)
+    mask = _decay_mask(params)
+    assert mask["predict_rtg"]["kernel"] is True
+    assert mask["predict_rtg"]["bias"] is False
+    assert mask["time_embed"]["embedding"] is False
+    assert mask["task_embed"]["embedding"] is False
+    assert mask["layer_n"]["scale"] is False
+    assert mask["block0"]["attn"]["qkv_proj"]["kernel"] is True
+    assert mask["state_encoder"]["conv0"]["kernel"] is True
+
+
+def test_masked_mse_matches_boolean_select(rng):
+    preds = jnp.asarray(rng.standard_normal((4, 6, 4)), jnp.float32)
+    targets = jnp.asarray(rng.standard_normal((4, 6, 4)), jnp.float32)
+    masks = jnp.asarray(
+        (rng.uniform(size=(4, 6, 1)) > 0.3).astype(np.float32))
+    ours = float(masked_mse_loss(preds, targets, masks))
+    sel = np.broadcast_to(np.asarray(masks), preds.shape) > 0
+    ref = float(np.mean((np.asarray(preds)[sel] - np.asarray(targets)[sel])
+                        ** 2))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = init_dt_params(CFG, seed=0)
+    tcfg = TrainerConfig(warmup_steps=2, learning_rate=1e-3)
+    optimizer = make_optimizer(tcfg, max_steps=50, params=params)
+    return params, optimizer
+
+
+def test_loss_decreases(setup):
+    params, optimizer = setup
+    apply_train = make_dt_apply(CFG, train=True)
+    step = make_train_step(apply_train, optimizer)
+    params = jax.tree.map(jnp.copy, params)  # step donates its input state
+    state = TrainState(params=params, opt_state=optimizer.init(params),
+                       step=jnp.zeros((), jnp.int32))
+    rng = np.random.default_rng(0)
+    batch = {k: jnp.asarray(v) for k, v in _batch(rng).items()}
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(25):
+        state, loss = step(state, batch, jax.random.fold_in(key, i))
+        losses.append(float(loss))
+    assert min(losses[-5:]) < losses[0] * 0.8, losses
+
+
+def test_shard_map_grads_match_single_device(setup):
+    """DP shard_map psum-reduced update == single-device update."""
+    params, optimizer = setup
+    apply_train = make_dt_apply(CFG, train=True)
+    mesh = make_mesh(n_data=8, n_model=1)
+
+    state0 = TrainState(params=params, opt_state=optimizer.init(params),
+                        step=jnp.zeros((), jnp.int32))
+    rng = np.random.default_rng(1)
+    host_batch = _batch(rng, b=8)
+    key = jax.random.PRNGKey(7)
+
+    single = make_train_step(apply_train, optimizer)
+    s1, l1 = single(jax.tree.map(jnp.copy, state0),
+                    {k: jnp.asarray(v) for k, v in host_batch.items()}, key)
+
+    sharded_step = make_shard_map_train_step(apply_train, optimizer, mesh)
+    with mesh:
+        s2, l2 = sharded_step(jax.tree.map(jnp.copy, state0),
+                              shard_batch(host_batch, mesh), key)
+
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6),
+        s1.params, s2.params)
+
+
+def test_tensor_parallel_forward_matches_replicated(setup):
+    """TP-sharded params (model axis) produce the same forward output."""
+    params, _ = setup
+    apply_eval = make_dt_apply(CFG)
+    mesh = make_mesh(n_data=4, n_model=2)
+    rng = np.random.default_rng(2)
+    b = _batch(rng, b=4)
+    args = (jnp.asarray(b["rtg"]), jnp.asarray(b["states"]),
+            jnp.asarray(b["timesteps"]), jnp.asarray(b["task"]),
+            jnp.asarray(b["actions"]))
+
+    ref = apply_eval(params, *args).pred_actions
+    with mesh:
+        tp_params = shard_params(params, mesh, tensor_parallel=True)
+        out = jax.jit(lambda p: apply_eval(p, *args).pred_actions)(tp_params)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-6)
