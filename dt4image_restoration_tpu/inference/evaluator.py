@@ -131,7 +131,7 @@ def greedy_rollout(dt_apply: Callable, denoise: Callable, cfg: ModelConfig,
                    params, env_state: CSMRIState, bufs: EvalBuffers,
                    action_dict: Dict[str, jnp.ndarray],
                    pred_rtg: jnp.ndarray, max_timesteps: int,
-                   start_time: int = 1
+                   start_time: Any = 1
                    ) -> Tuple[CSMRIState, jnp.ndarray, jnp.ndarray,
                               EvalBuffers]:
     """The greedy env/policy loop (eval.py:189-220) as one ``lax.scan``.
@@ -139,21 +139,34 @@ def greedy_rollout(dt_apply: Callable, denoise: Callable, cfg: ModelConfig,
     Returns ``(final_env_state, reward (B, 1), episode_len (B,), buffers)``.
     ``episode_len`` is the reference's returned ``time`` — the iteration at
     which the episode finished (stop action or ``max_timesteps``).
+
+    ``start_time`` may be a traced scalar (MCTS rollouts start from the
+    node's depth, mcts.py:206): the scan always spans [0, max_timesteps] and
+    iterations before ``start_time`` are masked no-ops, keeping one compiled
+    program for every depth.
     """
     policy_step = make_policy_step(dt_apply, cfg)
+    start_time = jnp.asarray(start_time, jnp.int32)
 
     def body(carry, t):
         env_state, bufs, action_dict, pred_rtg, finished, ep_len = carry
+        started = t >= start_time
 
-        env_state = admm_step(denoise, env_state, action_dict)
-        finished_now = env_state.done | (t == max_timesteps)
+        prev_state = env_state
+        stepped = admm_step(denoise, env_state, action_dict)
+        env_state = jax.tree.map(
+            lambda new, old: jnp.where(
+                jnp.reshape(started, (1,) * new.ndim), new, old),
+            stepped, prev_state)
+        finished_now = (env_state.done | (t == max_timesteps)) & started
         newly = finished_now & ~finished
         ep_len = jnp.where(newly, t, ep_len)
         finished = finished | finished_now
 
         # Buffer writes + policy prediction are masked where finished
-        # (the reference returns before them, eval.py:206-218).
-        live = ~finished
+        # (the reference returns before them, eval.py:206-218) or not yet
+        # started.
+        live = ~finished & started
         ob = get_policy_ob(env_state)
         old_s = jnp.take(bufs.states, t, axis=1)
         old_r = jnp.take(bufs.rtg, t, axis=1)
@@ -179,7 +192,7 @@ def greedy_rollout(dt_apply: Callable, denoise: Callable, cfg: ModelConfig,
     b = env_state.batch
     init = (env_state, bufs, action_dict, pred_rtg,
             jnp.zeros((b,), bool), jnp.full((b,), max_timesteps, jnp.int32))
-    ts = jnp.arange(start_time, max_timesteps + 1, dtype=jnp.int32)
+    ts = jnp.arange(0, max_timesteps + 1, dtype=jnp.int32)
     (env_state, bufs, *_ , ep_len), _ = jax.lax.scan(body, init, ts)
     reward = compute_reward(env_state)
     return env_state, reward, ep_len, bufs

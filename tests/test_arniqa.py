@@ -1,0 +1,142 @@
+"""ARNIQA tests: Flax ResNet-50 parity vs a torch-functional execution of
+the torchvision ResNet-50 layout, converter round-trip, scoring wrapper,
+proxy fallback sanity. (torchvision is not in this image, so the reference
+forward is restated with torch.nn.functional ops over a synthetic
+hub-layout state dict.)"""
+import numpy as np
+import torch
+import torch.nn.functional as F
+import jax.numpy as jnp
+import pytest
+
+from dt4image_restoration_tpu.models.arniqa import (
+    ARNIQA, ResNet50, convert_arniqa_state_dict, make_value_fn,
+    proxy_value_fn)
+
+STAGES = (3, 4, 6, 3)
+
+
+def _make_resnet50_state_dict(gen):
+    """Random weights with torchvision ResNet-50 state_dict naming."""
+    sd = {}
+
+    def conv(name, c_out, c_in, k):
+        sd[name + ".weight"] = 0.05 * torch.randn(c_out, c_in, k, k,
+                                                  generator=gen)
+
+    def bn(name, c):
+        sd[name + ".weight"] = 1 + 0.1 * torch.randn(c, generator=gen)
+        sd[name + ".bias"] = 0.1 * torch.randn(c, generator=gen)
+        sd[name + ".running_mean"] = 0.1 * torch.randn(c, generator=gen)
+        sd[name + ".running_var"] = 1 + 0.2 * torch.rand(c, generator=gen)
+
+    conv("conv1", 64, 3, 7)
+    bn("bn1", 64)
+    c_in = 64
+    for stage, n_blocks in enumerate(STAGES):
+        feats = 64 * (2 ** stage)
+        for block in range(n_blocks):
+            p = f"layer{stage + 1}.{block}."
+            conv(p + "conv1", feats, c_in, 1)
+            bn(p + "bn1", feats)
+            conv(p + "conv2", feats, feats, 3)
+            bn(p + "bn2", feats)
+            conv(p + "conv3", 4 * feats, feats, 1)
+            bn(p + "bn3", 4 * feats)
+            if block == 0:
+                conv(p + "downsample.0", 4 * feats, c_in, 1)
+                bn(p + "downsample.1", 4 * feats)
+            c_in = 4 * feats
+    return sd
+
+
+def _torch_resnet50_features(sd, x):
+    """torchvision ResNet-50 forward restated functionally (eval mode)."""
+    def bn(name, t):
+        return F.batch_norm(t, sd[name + ".running_mean"],
+                            sd[name + ".running_var"],
+                            sd[name + ".weight"], sd[name + ".bias"],
+                            training=False)
+
+    def bottleneck(prefix, t, stride, has_ds):
+        identity = t
+        y = F.relu(bn(prefix + "bn1",
+                      F.conv2d(t, sd[prefix + "conv1.weight"])))
+        y = F.relu(bn(prefix + "bn2",
+                      F.conv2d(y, sd[prefix + "conv2.weight"],
+                               stride=stride, padding=1)))
+        y = bn(prefix + "bn3", F.conv2d(y, sd[prefix + "conv3.weight"]))
+        if has_ds:
+            identity = bn(prefix + "downsample.1",
+                          F.conv2d(t, sd[prefix + "downsample.0.weight"],
+                                   stride=stride))
+        return F.relu(y + identity)
+
+    x = F.relu(bn("bn1", F.conv2d(x, sd["conv1.weight"], stride=2,
+                                  padding=3)))
+    x = F.max_pool2d(x, 3, stride=2, padding=1)
+    for stage, n_blocks in enumerate(STAGES):
+        for block in range(n_blocks):
+            stride = 2 if stage > 0 and block == 0 else 1
+            x = bottleneck(f"layer{stage + 1}.{block}.", x, stride,
+                           block == 0)
+    return F.adaptive_avg_pool2d(x, 1).flatten(1)
+
+
+@pytest.fixture(scope="module")
+def hub_like_state_dict():
+    gen = torch.Generator().manual_seed(0)
+    sd = _make_resnet50_state_dict(gen)
+    full = {"encoder.model." + k: v for k, v in sd.items()}
+    full["regressor.weight"] = 0.01 * torch.randn(1, 4096, generator=gen)
+    full["regressor.bias"] = 0.01 * torch.randn(1, generator=gen)
+    return sd, full
+
+
+def test_resnet50_parity(hub_like_state_dict):
+    sd, full = hub_like_state_dict
+    gen = torch.Generator().manual_seed(1)
+    x = torch.rand(1, 3, 64, 64, generator=gen)
+    feats = _torch_resnet50_features(sd, x)
+
+    variables = convert_arniqa_state_dict(full)
+    enc_vars = {"params": variables["params"]["encoder"],
+                "batch_stats": variables["batch_stats"]["encoder"]}
+    ours = ResNet50().apply(enc_vars,
+                            jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(ours), feats.numpy(),
+                               rtol=5e-3, atol=5e-4)
+
+
+def test_arniqa_score_scalar(hub_like_state_dict):
+    _, full = hub_like_state_dict
+    variables = convert_arniqa_state_dict(full)
+    img = jnp.asarray(np.random.default_rng(0).uniform(
+        0, 1, (1, 128, 128, 3)).astype(np.float32))
+    half = jnp.asarray(np.random.default_rng(1).uniform(
+        0, 1, (1, 64, 64, 3)).astype(np.float32))
+    score = ARNIQA().apply(variables, img, half, scale_score=True)
+    assert score.shape == (1,)
+    raw = ARNIQA().apply(variables, img, half, scale_score=False)
+    np.testing.assert_allclose(np.asarray(score),
+                               (np.asarray(raw) - 1.0) / 4.0, rtol=1e-4,
+                               atol=1e-6)
+
+
+def test_value_fn_wrapper(hub_like_state_dict):
+    _, full = hub_like_state_dict
+    variables = convert_arniqa_state_dict(full)
+    fn = make_value_fn(variables)
+    x = np.random.default_rng(0).uniform(0, 1, (1, 128, 128)).astype(
+        np.float32)
+    s = fn(x)
+    assert isinstance(s, float) and np.isfinite(s)
+
+
+def test_proxy_value_prefers_clean_over_noisy():
+    from dt4image_restoration_tpu.data import shepp_logan
+    clean = shepp_logan(128)[None]
+    noisy = np.clip(
+        clean + np.random.default_rng(0).normal(0, 0.15, clean.shape), 0, 1
+    ).astype(np.float32)
+    assert proxy_value_fn(clean) > proxy_value_fn(noisy)

@@ -1,0 +1,109 @@
+"""MCTS tests: PUCB selection, sampling, batched expansion, memoized
+rollouts, end-to-end run on synthetic data (reference mcts.py semantics)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dt4image_restoration_tpu.config import MCTSConfig, ModelConfig
+from dt4image_restoration_tpu.data import make_mat_record
+from dt4image_restoration_tpu.inference.mcts import (
+    MCTS, Node, sample_actions, select_p_ucb)
+from dt4image_restoration_tpu.models import DecisionTransformer
+from dt4image_restoration_tpu.models.arniqa import proxy_value_fn
+from dt4image_restoration_tpu.models.decision_transformer import init_dt_params
+
+CFG = ModelConfig(block_size=18, n_embeds=9, mode="norm")
+
+
+def dt_apply(params, rtg, states, timesteps, task, actions):
+    return DecisionTransformer(CFG).apply(
+        {"params": params}, rtg, states, timesteps, task, actions)
+
+
+def stub_denoise(img, sigma):
+    return jnp.clip(0.85 * img + 0.05 + 0.1 * sigma[:, None, None, None],
+                    0.0, 1.0)
+
+
+def test_sample_actions_sorted_by_density():
+    samples, probs = sample_actions(jax.random.PRNGKey(0), 0.3, 0.2, 5)
+    assert samples.shape == (5,) and probs.shape == (5,)
+    assert (samples >= 0).all()  # |N(loc, std)|
+    assert (np.diff(probs) <= 1e-7).all()  # descending density
+
+
+def test_select_p_ucb_prefers_high_reward():
+    parent = Node(0, 1.0, None, 0, 0, None, None, 0.5)
+    parent.s_visits = 3
+    parent.reward = 0.2
+    for i, r in enumerate([0.1, 0.9, 0.5]):
+        c = Node(1, 0.5, parent, i, 0, None, None, 0.5)
+        c.reward = r
+        parent.children.append(c)
+    best = select_p_ucb(parent)
+    assert best is parent.children[1]
+
+
+def test_backprop_is_max():
+    root = Node(0, 1.0, None, 0, 0, None, None, 0.5)
+    child = Node(1, 1.0, root, 0, 0, None, None, 0.5)
+    child.backprop(5.0)
+    assert root.reward == 5.0 and child.reward == 5.0
+    child.backprop(3.0)  # lower reward must not overwrite
+    assert root.reward == 5.0 and child.reward == 5.0
+
+
+def _record(seed=0):
+    mat = make_mat_record(seed=seed)
+    mat = dict(mat)
+    mat["x0"] = np.clip(mat["x0"], 0, None)
+    states = mat["x0"][..., 0].reshape(1, -1).astype(np.float32)
+    rtg = np.full((1, 1), 0.6, np.float32)
+    return (states, rtg, np.zeros(3, np.float32),
+            np.asarray([2], np.int32)), mat
+
+
+@pytest.fixture(scope="module")
+def mcts():
+    params = init_dt_params(CFG, seed=0)
+    return MCTS(dt_apply=dt_apply, dt_params=params, denoise=stub_denoise,
+                model_cfg=CFG,
+                cfg=MCTSConfig(iterations=4, max_timesteps=8),
+                value_fn=proxy_value_fn)
+
+
+def test_expand_creates_batched_children(mcts):
+    from dt4image_restoration_tpu.env import reset_from_mat
+    record = _record()
+    (_, rtg0, _, _), mat = record
+    env_state = reset_from_mat(mat)
+    root = Node(0, 1.0, None, 0, 0, env_state, env_state, float(rtg0[0, 0]))
+    node, adict, pred_rtg = mcts.expand(root, task=2,
+                                        key=jax.random.PRNGKey(1),
+                                        index_tree=0)
+    assert len(node.children) == 5
+    assert node.action is not None and node.action.shape == (3,)
+    assert set(adict) == {"T", "sigma_d", "mu"}
+    assert np.isfinite(pred_rtg)
+    for c in node.children:
+        assert c.time == 1
+        assert c.env_state.x.shape == (1, 1, 128, 128)
+    # Children with different sampled params must differ (branching
+    # semantics — NOT the reference's aliasing bug, see mcts.py docstring).
+    x0 = np.asarray(node.children[0].env_state.x)
+    diffs = [not np.allclose(x0, np.asarray(c.env_state.x))
+             for c in node.children[1:]]
+    assert any(diffs)
+
+
+def test_mcts_end_to_end(mcts):
+    reward = mcts.run(_record(), seed=0)
+    assert np.isfinite(reward)
+    assert 0 < reward < 60  # a PSNR-like value
+
+
+def test_mcts_deterministic_given_seed(mcts):
+    r1 = mcts.run(_record(seed=1), seed=7)
+    r2 = mcts.run(_record(seed=1), seed=7)
+    assert r1 == r2
