@@ -1,0 +1,131 @@
+"""Headline benchmark: PnP-ADMM iterations/sec/chip (BASELINE.json config 1).
+
+Runs the 30-iteration fixed-parameter CSMRI PnP-ADMM loop (radial mask +
+U-Net denoiser, 128x128 slice) as one jitted lax.scan on the default JAX
+device (TPU under the driver), and the identical loop with identical
+weights on torch CPU as the reference baseline.
+
+Timing methodology: each jitted variant returns a small scalar; N rollouts
+are dispatched back-to-back and the last scalar is fetched, so device
+executions pipeline and the remote-tunnel round-trip latency amortizes out.
+
+Prints ONE JSON line:
+  {"metric": "pnp_admm_iters_per_sec_per_chip", "value": ..., "unit":
+   "iters/s", "vs_baseline": <speedup vs torch-CPU reference>, "extras":
+   {batched throughput, bf16 throughput, PSNR parity delta, ...}}
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+N_ITERS = 30
+MU = 0.5
+SIGMA_D = 15.0 / 255.0
+BATCH = 16
+IMAGE_SEED = 0
+
+
+def _throughput(fn, fetch, repeats: int, warmup: int = 2) -> float:
+    """Seconds per call: dispatch ``repeats`` calls, fetch only the last."""
+    for _ in range(warmup):
+        fetch(fn())
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(repeats):
+        out = fn()
+    fetch(out)
+    return (time.perf_counter() - t0) / repeats
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from dt4image_restoration_tpu.data import make_mat_record
+    from dt4image_restoration_tpu.env import (
+        compute_reward, fixed_param_rollout, reset_from_mat)
+    from dt4image_restoration_tpu.models import UNetDenoiser
+    from dt4image_restoration_tpu.utils.checkpoint import (
+        convert_unet_state_dict)
+    from dt4image_restoration_tpu.utils.torch_reference import (
+        random_unet_state_dict, torch_admm_rollout)
+
+    sd = random_unet_state_dict(seed=0)
+    params = convert_unet_state_dict(sd)
+    mat = make_mat_record(seed=IMAGE_SEED)
+
+    model_f32 = UNetDenoiser()
+
+    def denoise_f32(img, sigma):
+        return model_f32.apply({"params": params}, img, sigma)
+
+    model_bf16 = UNetDenoiser(dtype=jnp.bfloat16)
+
+    def denoise_bf16(img, sigma):
+        out = model_bf16.apply({"params": params},
+                               img.astype(jnp.bfloat16), sigma)
+        return out.astype(jnp.float32)
+
+    def make_roll(denoise):
+        @jax.jit
+        def roll(s):
+            final, _ = fixed_param_rollout(denoise, s, MU, SIGMA_D, N_ITERS)
+            return compute_reward(final)
+        return roll
+
+    fetch = lambda out: float(np.asarray(out)[0, 0])
+
+    # --- single-slice jitted rollout (the headline number) ---------------
+    state1 = reset_from_mat(mat)
+    roll_f32 = make_roll(denoise_f32)
+    t_single = _throughput(lambda: roll_f32(state1), fetch, repeats=20)
+    iters_per_sec = N_ITERS / t_single
+    psnr_jax = fetch(roll_f32(state1))
+
+    # --- batched rollout (slices/sec) ------------------------------------
+    mats = [make_mat_record(seed=s) for s in range(BATCH)]
+    big = {k: np.concatenate([m[k] for m in mats]) for k in mats[0]}
+    stateB = reset_from_mat(big)
+    t_batch = _throughput(lambda: roll_f32(stateB), fetch, repeats=10)
+    slices_per_sec = BATCH / t_batch
+
+    # --- bf16 variants ----------------------------------------------------
+    roll_bf16 = make_roll(denoise_bf16)
+    t_bf16 = _throughput(lambda: roll_bf16(state1), fetch, repeats=20)
+    t_bf16_batch = _throughput(lambda: roll_bf16(stateB), fetch, repeats=10)
+    psnr_bf16 = fetch(roll_bf16(state1))
+
+    # --- torch CPU reference baseline (identical weights + data) ---------
+    t0 = time.perf_counter()
+    _, psnr_torch = torch_admm_rollout(sd, mat, MU, SIGMA_D, N_ITERS)
+    t_torch = time.perf_counter() - t0
+    baseline_iters_per_sec = N_ITERS / t_torch
+
+    result = {
+        "metric": "pnp_admm_iters_per_sec_per_chip",
+        "value": round(iters_per_sec, 2),
+        "unit": "iters/s",
+        "vs_baseline": round(iters_per_sec / baseline_iters_per_sec, 2),
+        "extras": {
+            "platform": jax.devices()[0].platform,
+            "device": str(jax.devices()[0]),
+            "single_slice_ms_per_iter": round(1e3 * t_single / N_ITERS, 3),
+            "batched_slices_per_sec": round(slices_per_sec, 2),
+            "batched_iters_per_sec": round(BATCH * N_ITERS / t_batch, 2),
+            "bf16_iters_per_sec": round(N_ITERS / t_bf16, 2),
+            "bf16_batched_slices_per_sec": round(BATCH / t_bf16_batch, 2),
+            "cpu_reference_iters_per_sec": round(baseline_iters_per_sec, 2),
+            "psnr_jax_f32_db": round(psnr_jax, 4),
+            "psnr_torch_cpu_db": round(psnr_torch, 4),
+            "psnr_parity_delta_db": round(abs(psnr_jax - psnr_torch), 4),
+            "psnr_bf16_delta_db": round(abs(psnr_bf16 - psnr_torch), 4),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

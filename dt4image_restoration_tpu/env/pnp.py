@@ -7,6 +7,11 @@ becomes a carried ``done`` mask so a whole episode compiles into one
 ``lax.scan``; everything is batched over a leading slice axis and shards
 over the device mesh's data axis.
 
+Complex values are stored as trailing real/imag float32 pairs (the same
+layout the .mat records use) and materialize as complex64 only *inside*
+jitted computations — complex buffers never cross the host<->device
+boundary, which the TPU runtime does not support for transfers.
+
 One ADMM iteration (env.py:85-98):
     x   = denoiser(Re(z - u), sigma_d)            # plug-in prior
     z~  = F(x + u)                                # centered ortho FFT
@@ -27,20 +32,29 @@ from flax import struct
 from dt4image_restoration_tpu.ops import fft2c, ifft2c, kspace_consistency, psnr
 
 
+def to_complex(ri: jnp.ndarray) -> jnp.ndarray:
+    """(..., 2) real/imag pair -> complex64."""
+    return jax.lax.complex(ri[..., 0], ri[..., 1])
+
+
+def from_complex(c: jnp.ndarray) -> jnp.ndarray:
+    """complex -> (..., 2) real/imag pair (float32)."""
+    return jnp.stack([jnp.real(c), jnp.imag(c)], axis=-1)
+
+
 class CSMRIState(struct.PyTreeNode):
     """ADMM state for a batch of 128x128 CSMRI slices, canonical layout
-    (B, 1, H, W).
+    (B, 1, H, W[, 2]).
 
-    Mirrors the reference's state dict (env.py:71). ``x`` stays complex64 for
-    shape/dtype stability under jit (its imaginary part is zero after the
-    first denoiser application, matching the reference where ``x`` becomes a
-    real tensor after step 1).
+    Mirrors the reference's state dict (env.py:71). ``x`` keeps a (zero)
+    imaginary component for shape/dtype stability under jit, matching the
+    reference where ``x`` is complex until the first denoiser application.
     """
-    x: jnp.ndarray      # (B, 1, H, W) complex64 — current estimate
-    z: jnp.ndarray      # (B, 1, H, W) complex64 — split variable
-    u: jnp.ndarray      # (B, 1, H, W) complex64 — scaled dual
+    x: jnp.ndarray      # (B, 1, H, W, 2) float32 — current estimate (ri)
+    z: jnp.ndarray      # (B, 1, H, W, 2) float32 — split variable (ri)
+    u: jnp.ndarray      # (B, 1, H, W, 2) float32 — scaled dual (ri)
     mask: jnp.ndarray   # (B, 1, H, W) bool — k-space sampling mask
-    y0: jnp.ndarray     # (B, 1, H, W) complex64 — measured k-space
+    y0: jnp.ndarray     # (B, 1, H, W, 2) float32 — measured k-space (ri)
     gt: jnp.ndarray     # (B, 1, H, W) float32 — ground truth
     T: jnp.ndarray      # (B,) float32 — normalized step counter
     done: jnp.ndarray   # (B,) bool — episode termination mask
@@ -48,6 +62,11 @@ class CSMRIState(struct.PyTreeNode):
     @property
     def batch(self) -> int:
         return self.x.shape[0]
+
+    @property
+    def x_real(self) -> jnp.ndarray:
+        """(B, 1, H, W) real part of the current estimate."""
+        return self.x[..., 0]
 
 
 Action = Mapping[str, jnp.ndarray]  # keys: 'T', 'mu', 'sigma_d'
@@ -64,12 +83,11 @@ def reset_from_mat(mat: Mapping[str, Any], image_size: int = 128
     it is dropped here). Any leading batch dims collapse into one."""
     s = image_size
 
-    def c64(arr):
-        a = jnp.asarray(arr, jnp.float32)
-        return jax.lax.complex(a[..., 0], a[..., 1]).reshape(-1, 1, s, s)
+    def ri(arr):
+        return jnp.asarray(arr, jnp.float32).reshape(-1, 1, s, s, 2)
 
-    x = c64(mat["x0"])
-    y0 = c64(mat["y0"])
+    x = ri(mat["x0"])
+    y0 = ri(mat["y0"])
     mask = jnp.asarray(mat["mask"]).reshape(-1, 1, s, s).astype(bool)
     gt = jnp.asarray(mat["gt"], jnp.float32).reshape(-1, 1, s, s)
     b = x.shape[0]
@@ -97,18 +115,23 @@ def admm_step(denoise: DenoiseFn, state: CSMRIState, action: Action,
     stop_now = t_act > done_threshold
     active = ~(state.done | stop_now)
 
-    # Denoiser runs in NHWC (TPU conv layout); state is (B, 1, H, W).
-    img = jnp.real(state.z - state.u)
+    # Denoiser runs in NHWC (TPU conv layout); state is (B, 1, H, W, 2).
+    img = state.z[..., 0] - state.u[..., 0]
     den = denoise(jnp.moveaxis(img, 1, -1), sigma_d)
-    x_new = jnp.moveaxis(den, -1, 1).astype(jnp.complex64)
+    x_real = jnp.moveaxis(den, -1, 1)
 
-    z_k = fft2c(x_new + state.u)
-    z_k = kspace_consistency(z_k, state.y0, state.mask,
+    u_c = to_complex(state.u)
+    z_k = fft2c(x_real.astype(jnp.complex64) + u_c)
+    z_k = kspace_consistency(z_k, to_complex(state.y0), state.mask,
                              mu[:, None, None, None])
-    z_new = ifft2c(z_k)
-    u_new = state.u + x_new - z_new
+    z_c = ifft2c(z_k)
+    u_c = u_c + x_real - z_c
 
-    keep = active[:, None, None, None]
+    x_new = jnp.stack([x_real, jnp.zeros_like(x_real)], axis=-1)
+    z_new = from_complex(z_c)
+    u_new = from_complex(u_c)
+
+    keep = active[:, None, None, None, None]
     return state.replace(
         x=jnp.where(keep, x_new, state.x),
         z=jnp.where(keep, z_new, state.z),
@@ -120,12 +143,12 @@ def admm_step(denoise: DenoiseFn, state: CSMRIState, action: Action,
 def compute_reward(state: CSMRIState) -> jnp.ndarray:
     """PSNR of the current estimate vs ground truth, (B, 1)
     (env.py:112-116). Stays on device — no host transfer in the hot loop."""
-    return psnr(jnp.real(state.x), state.gt)
+    return psnr(state.x_real, state.gt)
 
 
 def get_policy_ob(state: CSMRIState) -> jnp.ndarray:
     """Flattened real part of x, (B, H*W) (env.py:102-109)."""
-    return jnp.real(state.x).reshape(state.batch, -1)
+    return state.x_real.reshape(state.batch, -1)
 
 
 def fixed_param_rollout(denoise: DenoiseFn, state: CSMRIState,

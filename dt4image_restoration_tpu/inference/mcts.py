@@ -155,8 +155,7 @@ class MCTS:
         actions = np.zeros((1, maxt, 3), np.float32)
         for n in node.ancestry():
             t = max(n.time, 0)
-            states[0, t] = np.asarray(
-                jnp.real(n.policy_state.x)).reshape(-1)
+            states[0, t] = np.asarray(n.policy_state.x[..., 0]).reshape(-1)
             rtg[0, t] = n.policy_rtg
         # Actions come from the parent chain; the current node's own action
         # is not yet set (mcts.py:107-108).
@@ -217,8 +216,7 @@ class MCTS:
             self.dt_params, node.env_state, bufs,
             {k: v for k, v in action_dict.items()},
             jnp.full((1,), node.policy_rtg, jnp.float32), node.time)
-        x = np.asarray(jnp.real(final.x)).reshape(
-            1, *final.x.shape[-2:])
+        x = np.asarray(final.x[..., 0]).reshape(1, *final.x.shape[-3:-1])
         return float(self.value_fn(x)), x, int(ep_len[0])
 
     # -- driver (mcts.py:212-258) ------------------------------------------

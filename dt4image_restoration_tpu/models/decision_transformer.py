@@ -21,12 +21,12 @@ program.
 """
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from flax import struct
 
 from dt4image_restoration_tpu.config import ModelConfig
 
@@ -40,10 +40,10 @@ ACTION_KEYS = {
 }
 
 
-@dataclasses.dataclass
-class DTOutput:
+class DTOutput(struct.PyTreeNode):
     """All head outputs of one forward pass (callers select what they need,
-    mirroring the reference's eval_rtg/eval_actions return flags :257-263)."""
+    mirroring the reference's eval_rtg/eval_actions return flags :257-263).
+    A pytree, so it can cross jit boundaries directly."""
     pred_actions: jnp.ndarray          # (B, T, 3) rescaled actions
     pred_rtg: Optional[jnp.ndarray]    # (B, T, 1); None in two-token mode
     action_dict: Dict[str, jnp.ndarray]  # key -> (B, T, 1)

@@ -1,0 +1,238 @@
+"""CLI for the TPU-native DT4Image_Restoration framework.
+
+Command surface mirrors the reference (/root/reference/main.py:133-155 and
+scripts.sh):
+
+    python main.py --block_size 18 train --batch_size 48 --save_every 1 \
+        --max_epochs 5 [--ddp] [--compile]
+    python main.py --block_size 18 --n_embeds 9 eval --rtg 10 --max_timesteps 30
+    python main.py --block_size 18 --n_embeds 6 flex --max_timesteps 30
+    python main.py --block_size 18 --n_embeds 9 mcts --rtg 5 --max_timesteps 30
+
+``--ddp`` and ``--compile`` are accepted for CLI parity but are no-ops: every
+step is already jit-compiled and sharded over the ICI mesh (the JAX
+equivalents are always on). Checkpoint/data path defaults match the
+reference layout (checkpoints/model_experiment_{1,2}.pt,
+evaluation/pretrained/unet-nm.pt, evaluation/image_dir/vanilla/...);
+published PyTorch checkpoints are converted on load.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+import numpy as np
+
+logging.basicConfig(filename="outputs.log", level=logging.DEBUG,
+                    format="%(asctime)s - %(name)s - %(levelname)s - "
+                           "%(message)s")
+logger = logging.getLogger("dt4ir_tpu")
+
+EVAL_DIRS_9 = [f"evaluation/image_dir/vanilla/{t}/" for t in
+               ("4_15", "4_10", "4_5", "8_15", "8_10", "8_5",
+                "2_15", "2_10", "2_5")]
+EVAL_DIRS_6 = EVAL_DIRS_9[:6]
+FLEX_RTGS = [1.5, 3, 3.5, 4, 4.5]  # main.py:198
+
+
+def _load_denoiser(path: str):
+    from dt4image_restoration_tpu.models import UNetDenoiser
+    from dt4image_restoration_tpu.utils.checkpoint import (
+        load_unet_checkpoint, restore_checkpoint)
+    model = UNetDenoiser()
+    if os.path.isdir(path):
+        params = restore_checkpoint(path)
+    elif os.path.exists(path):
+        params = load_unet_checkpoint(path)
+    else:
+        print(f"WARNING: denoiser checkpoint {path!r} not found; "
+              "using random weights (smoke-test mode)", file=sys.stderr)
+        import jax
+        import jax.numpy as jnp
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 128, 128, 1)),
+                            jnp.zeros((1,)))["params"]
+
+    def denoise(img, sigma):
+        return model.apply({"params": params}, img, sigma)
+
+    return denoise
+
+
+def _load_dt(cfg, path: str):
+    from dt4image_restoration_tpu.models.decision_transformer import (
+        init_dt_params, make_dt_apply)
+    from dt4image_restoration_tpu.utils.checkpoint import (
+        load_dt_checkpoint, restore_checkpoint)
+    if os.path.isdir(path):
+        params = restore_checkpoint(path)
+    elif os.path.exists(path):
+        params = load_dt_checkpoint(path)
+    else:
+        print(f"WARNING: DT checkpoint {path!r} not found; using random "
+              "weights (smoke-test mode)", file=sys.stderr)
+        params = init_dt_params(cfg, seed=0)
+    return make_dt_apply(cfg), params
+
+
+def cmd_train(args) -> None:
+    import jax
+    import jax.numpy as jnp
+    from dt4image_restoration_tpu.config import (
+        ModelConfig, TrainerConfig, tasks_for_experiment)
+    from dt4image_restoration_tpu.data.datasets import TrainingDataset
+    from dt4image_restoration_tpu.models.decision_transformer import (
+        init_dt_params, make_dt_apply)
+    from dt4image_restoration_tpu.training import (
+        TrainState, Trainer, make_mesh, make_optimizer, make_train_step,
+        shard_batch)
+
+    tasks, (min_rtg, max_rtg) = tasks_for_experiment(args.training_type)
+    cfg = ModelConfig(block_size=args.block_size, n_embeds=len(tasks),
+                      mode="flex" if args.training_type == "flexible"
+                      else "norm")
+    tcfg = TrainerConfig(batch_size=args.batch_size,
+                         max_epochs=args.max_epochs,
+                         save_every=args.save_every,
+                         checkpoint_dir=args.checkpoint_dir)
+
+    dataset = TrainingDataset(
+        block_size=cfg.context_length, data_dir=args.data_dir,
+        action_dim=cfg.action_dim, state_file_path=args.state_file,
+        tasks=tasks, min_rtg=min_rtg, max_rtg=max_rtg)
+    max_steps = max(len(dataset) // tcfg.batch_size, 1) * tcfg.max_epochs
+
+    params = init_dt_params(cfg, seed=tcfg.seed)
+    optimizer = make_optimizer(tcfg, max_steps, params)
+    state = TrainState(params=params, opt_state=optimizer.init(params),
+                       step=jnp.zeros((), jnp.int32))
+    mesh = make_mesh()
+    step_fn = make_train_step(make_dt_apply(cfg, train=True), optimizer)
+
+    os.makedirs(tcfg.checkpoint_dir, exist_ok=True)
+    trainer = Trainer(
+        train_step=step_fn, state=state, config=tcfg,
+        batches=lambda epoch: dataset.batches(tcfg.batch_size,
+                                              seed=tcfg.seed + epoch),
+        shard=lambda b: shard_batch(b, mesh),
+        checkpoint_dir=tcfg.checkpoint_dir)
+    with mesh:
+        trainer.train()
+    print("Training complete; last losses:", trainer.last_losses)
+
+
+def _make_evaluator(args, mode: str, ckpt: str, rtg_target, eval_type):
+    from dt4image_restoration_tpu.config import ModelConfig
+    from dt4image_restoration_tpu.inference import Evaluator
+    cfg = ModelConfig(block_size=args.block_size, n_embeds=args.n_embeds,
+                      mode=mode)
+    dt_apply, dt_params = _load_dt(cfg, ckpt)
+    denoise = _load_denoiser(args.denoiser_ckpt)
+    return Evaluator(dt_apply=dt_apply, dt_params=dt_params,
+                     denoise=denoise, cfg=cfg,
+                     max_timesteps=args.max_timesteps or 30,
+                     rtg_target=float(rtg_target), eval_type=eval_type)
+
+
+def cmd_eval(args) -> None:
+    evaluator = _make_evaluator(args, "norm", args.checkpoint, args.rtg,
+                                "norm")
+    dirs = args.data_dirs or EVAL_DIRS_9
+    evaluator.run([d for d in dirs if os.path.isdir(d)] or dirs)
+
+
+def cmd_flex(args) -> None:
+    dirs = args.data_dirs or EVAL_DIRS_6
+    for rtg in FLEX_RTGS:
+        evaluator = _make_evaluator(args, "flex", args.checkpoint, rtg,
+                                    "flex")
+        print(f"Test for reward increment: {rtg}\n")
+        total = evaluator.run([d for d in dirs if os.path.isdir(d)] or dirs)
+        print(f"\nAverage increment: {total / len(dirs)}\n")
+
+
+def cmd_mcts(args) -> None:
+    from dt4image_restoration_tpu.config import MCTSConfig, ModelConfig
+    from dt4image_restoration_tpu.data.datasets import EvaluationDataset
+    from dt4image_restoration_tpu.inference.mcts import MCTS
+
+    cfg = ModelConfig(block_size=args.block_size, n_embeds=args.n_embeds,
+                      mode="norm")
+    dt_apply, dt_params = _load_dt(cfg, args.checkpoint)
+    denoise = _load_denoiser(args.denoiser_ckpt)
+
+    if args.arniqa_ckpt and os.path.exists(args.arniqa_ckpt):
+        import torch
+        from dt4image_restoration_tpu.models.arniqa import (
+            convert_arniqa_state_dict, make_value_fn)
+        value_fn = make_value_fn(convert_arniqa_state_dict(
+            torch.load(args.arniqa_ckpt, map_location="cpu")))
+    else:
+        from dt4image_restoration_tpu.models.arniqa import proxy_value_fn
+        print("WARNING: no ARNIQA checkpoint; using the documented no-ref "
+              "proxy scorer", file=sys.stderr)
+        value_fn = proxy_value_fn
+
+    mcts = MCTS(dt_apply=dt_apply, dt_params=dt_params, denoise=denoise,
+                model_cfg=cfg,
+                cfg=MCTSConfig(max_timesteps=args.max_timesteps or 30,
+                               seed=args.seed),
+                value_fn=value_fn)
+    dirs = args.data_dirs or EVAL_DIRS_9
+    total = 0.0
+    for path in (d for d in dirs if os.path.isdir(d)):
+        ds = EvaluationDataset(path, rtg_target=float(args.rtg),
+                               kind="optimal")
+        for i in range(len(ds)):
+            total += mcts.run(ds[i], seed=args.seed + i)
+    print("Total MCTS reward:", total)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="TPU-native Decision Transformer for PnP-ADMM CSMRI")
+    p.add_argument("--block_size", type=int, required=True)
+    p.add_argument("--n_embeds", type=int, default=9)
+    sub = p.add_subparsers(dest="mode", required=True)
+
+    t = sub.add_parser("train")
+    t.add_argument("--batch_size", type=int, required=True)
+    t.add_argument("--ddp", action="store_true",
+                   help="accepted for parity; sharding is always on")
+    t.add_argument("--compile", action="store_true",
+                   help="accepted for parity; jit is always on")
+    t.add_argument("--save_every", type=int, required=True)
+    t.add_argument("--max_epochs", type=int, required=True)
+    t.add_argument("--training_type", default="optimal",
+                   choices=["optimal", "flexible"])
+    t.add_argument("--data_dir", default="dataset/data/new_json_folder")
+    t.add_argument("--state_file", default="dataset/data/data_1_410.h5")
+    t.add_argument("--checkpoint_dir", default="checkpoints")
+
+    for name, ckpt in (("eval", "checkpoints/model_experiment_2.pt"),
+                       ("mcts", "checkpoints/model_experiment_2.pt"),
+                       ("flex", "checkpoints/model_experiment_1.pt")):
+        s = sub.add_parser(name)
+        if name != "flex":
+            s.add_argument("--rtg", required=True)
+        s.add_argument("--max_timesteps", type=int, default=30)
+        s.add_argument("--checkpoint", default=ckpt)
+        s.add_argument("--denoiser_ckpt",
+                       default="evaluation/pretrained/unet-nm.pt")
+        s.add_argument("--data_dirs", nargs="*", default=None)
+        if name == "mcts":
+            s.add_argument("--seed", type=int, default=0)
+            s.add_argument("--arniqa_ckpt", default=None)
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    {"train": cmd_train, "eval": cmd_eval, "flex": cmd_flex,
+     "mcts": cmd_mcts}[args.mode](args)
+
+
+if __name__ == "__main__":
+    main()

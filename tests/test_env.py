@@ -33,6 +33,11 @@ def torch_reference_step(x, z, u, mask, y0, mu, denoised):
     return x, znew, unew
 
 
+def _ri_to_c(a):
+    a = np.asarray(a)
+    return a[..., 0] + 1j * a[..., 1]
+
+
 def test_admm_step_matches_reference_algebra(rng):
     mat = make_mat_record(seed=3)
     state = reset_from_mat(mat)
@@ -42,23 +47,23 @@ def test_admm_step_matches_reference_algebra(rng):
 
     # Reference algebra recomputed in torch from the same denoiser output.
     den = stub_denoise(
-        jnp.moveaxis(jnp.real(state.z - state.u), 1, -1),
+        jnp.moveaxis(state.z[..., 0] - state.u[..., 0], 1, -1),
         jnp.asarray([0.1]))
     den_t = torch.from_numpy(
         np.asarray(jnp.moveaxis(den, -1, 1))).to(torch.complex64)
     xt, zt, ut = torch_reference_step(
-        torch.from_numpy(np.asarray(state.x)),
-        torch.from_numpy(np.asarray(state.z)),
-        torch.from_numpy(np.asarray(state.u)),
+        torch.from_numpy(_ri_to_c(state.x)),
+        torch.from_numpy(_ri_to_c(state.z)),
+        torch.from_numpy(_ri_to_c(state.u)),
         torch.from_numpy(np.asarray(state.mask)),
-        torch.from_numpy(np.asarray(state.y0)),
+        torch.from_numpy(_ri_to_c(state.y0)),
         torch.tensor(0.3), den_t)
 
-    np.testing.assert_allclose(np.asarray(new.x), xt.numpy(),
+    np.testing.assert_allclose(_ri_to_c(new.x), xt.numpy(),
                                rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(new.z), zt.numpy(),
+    np.testing.assert_allclose(_ri_to_c(new.z), zt.numpy(),
                                rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(new.u), ut.numpy(),
+    np.testing.assert_allclose(_ri_to_c(new.u), ut.numpy(),
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(new.T), 1 / 30, rtol=1e-6)
     assert not bool(new.done[0])
