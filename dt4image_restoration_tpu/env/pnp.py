@@ -103,7 +103,8 @@ def _per_slice(value, b: int) -> jnp.ndarray:
 
 
 def admm_step(denoise: DenoiseFn, state: CSMRIState, action: Action,
-              done_threshold: float = 0.5) -> CSMRIState:
+              done_threshold: float = 0.5,
+              use_pallas: bool = False) -> CSMRIState:
     """One masked PnP-ADMM iteration. Where ``done`` (or the stop action
     ``T > 0.5`` fires, env.py:79-83) the slice is frozen instead of
     early-returned, so the step is batch-uniform and scan-able."""
@@ -122,8 +123,14 @@ def admm_step(denoise: DenoiseFn, state: CSMRIState, action: Action,
 
     u_c = to_complex(state.u)
     z_k = fft2c(x_real.astype(jnp.complex64) + u_c)
-    z_k = kspace_consistency(z_k, to_complex(state.y0), state.mask,
-                             mu[:, None, None, None])
+    if use_pallas:
+        from dt4image_restoration_tpu.ops.pallas import (
+            kspace_consistency_pallas)
+        z_k = to_complex(kspace_consistency_pallas(
+            from_complex(z_k), state.y0, state.mask, mu))
+    else:
+        z_k = kspace_consistency(z_k, to_complex(state.y0), state.mask,
+                                 mu[:, None, None, None])
     z_c = ifft2c(z_k)
     u_c = u_c + x_real - z_c
 
@@ -152,7 +159,8 @@ def get_policy_ob(state: CSMRIState) -> jnp.ndarray:
 
 
 def fixed_param_rollout(denoise: DenoiseFn, state: CSMRIState,
-                        mu: float, sigma_d: float, n_iters: int = 30
+                        mu: float, sigma_d: float, n_iters: int = 30,
+                        use_pallas: bool = False
                         ) -> Tuple[CSMRIState, jnp.ndarray]:
     """Fixed-parameter PnP-ADMM: ``n_iters`` iterations in one lax.scan.
 
@@ -164,7 +172,7 @@ def fixed_param_rollout(denoise: DenoiseFn, state: CSMRIState,
               "sigma_d": jnp.asarray(sigma_d)}
 
     def body(s, _):
-        s = admm_step(denoise, s, action)
+        s = admm_step(denoise, s, action, use_pallas=use_pallas)
         return s, compute_reward(s)
 
     return jax.lax.scan(body, state, None, length=n_iters)

@@ -53,6 +53,26 @@ def _normal_init(std: float = 0.02):
     return nn.initializers.normal(stddev=std)
 
 
+class LayerNorm(nn.Module):
+    """LayerNorm with torch semantics (eps=1e-5) and an optional fused
+    Pallas kernel. Param names match nn.LayerNorm so converted checkpoints
+    load unchanged."""
+    epsilon: float = 1e-5
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        e = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (e,))
+        bias = self.param("bias", nn.initializers.zeros, (e,))
+        if self.use_pallas:
+            from dt4image_restoration_tpu.ops.pallas import layernorm_pallas
+            return layernorm_pallas(x, scale, bias, eps=self.epsilon)
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
+        return (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+
+
 class Attention(nn.Module):
     """Causal multi-head attention (fused QKV) for short decode sequences."""
     cfg: ModelConfig
@@ -69,15 +89,20 @@ class Attention(nn.Module):
         k = k.reshape(b, t, h, e // h).transpose(0, 2, 1, 3)
         v = v.reshape(b, t, h, e // h).transpose(0, 2, 1, 3)
 
-        att = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                         preferred_element_type=jnp.float32)
-        att = att / jnp.sqrt(jnp.asarray(e // h, att.dtype))
-        causal = jnp.tril(jnp.ones((t, t), bool))
-        att = jnp.where(causal, att, -jnp.inf)
-        att = jax.nn.softmax(att, axis=-1).astype(x.dtype)
-        att = nn.Dropout(cfg.dropout)(att, deterministic=deterministic)
-        y = jnp.einsum("bhqk,bhkd->bhqd", att, v,
-                       preferred_element_type=jnp.float32).astype(x.dtype)
+        if cfg.use_pallas and deterministic:
+            from dt4image_restoration_tpu.ops.pallas import (
+                fused_causal_attention)
+            y = fused_causal_attention(q, k, v)
+        else:
+            att = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                             preferred_element_type=jnp.float32)
+            att = att / jnp.sqrt(jnp.asarray(e // h, att.dtype))
+            causal = jnp.tril(jnp.ones((t, t), bool))
+            att = jnp.where(causal, att, -jnp.inf)
+            att = jax.nn.softmax(att, axis=-1).astype(x.dtype)
+            att = nn.Dropout(cfg.dropout)(att, deterministic=deterministic)
+            y = jnp.einsum("bhqk,bhkd->bhqd", att, v,
+                           preferred_element_type=jnp.float32).astype(x.dtype)
         y = y.transpose(0, 2, 1, 3).reshape(b, t, e)
         y = nn.Dense(e, kernel_init=_normal_init(),
                      bias_init=nn.initializers.zeros, name="o_proj")(y)
@@ -93,8 +118,9 @@ class Block(nn.Module):
     def __call__(self, x, deterministic: bool):
         cfg = self.cfg
         x = x + Attention(cfg, name="attn")(
-            nn.LayerNorm(name="ln1")(x), deterministic)
-        h = nn.LayerNorm(name="ln2")(x)
+            LayerNorm(use_pallas=cfg.use_pallas, name="ln1")(x),
+            deterministic)
+        h = LayerNorm(use_pallas=cfg.use_pallas, name="ln2")(x)
         h = nn.Dense(4 * cfg.embed_dim, kernel_init=_normal_init(),
                      bias_init=nn.initializers.zeros, name="fc")(h)
         h = jax.nn.gelu(h, approximate=False)
@@ -185,7 +211,7 @@ class DecisionTransformer(nn.Module):
             tokens + time_interleaved, deterministic=deterministic)
         for i in range(cfg.n_blocks):
             x = Block(cfg, name=f"block{i}")(x, deterministic)
-        x = nn.LayerNorm(name="layer_n")(x)
+        x = LayerNorm(use_pallas=cfg.use_pallas, name="layer_n")(x)
 
         # Heads read stream-specific positions: actions at state tokens,
         # RTG at action tokens (decision_transformer.py:248-251).
