@@ -104,6 +104,10 @@ def initial_policy_setup(dt_apply: Callable, cfg: ModelConfig, params,
     """
     b, s = policy_x0.shape
     ctx = cfg.context_length
+    if max_timesteps < ctx:
+        raise ValueError(
+            f"max_timesteps ({max_timesteps}) must be >= the context "
+            f"length ({ctx}); the policy windows are ctx-sized")
     bufs = EvalBuffers(
         states=jnp.zeros((b, max_timesteps, s)).at[:, 0].set(policy_x0),
         actions=jnp.zeros((b, max_timesteps, cfg.action_dim)),

@@ -108,7 +108,10 @@ def cmd_train(args) -> None:
     optimizer = make_optimizer(tcfg, max_steps, params)
     state = TrainState(params=params, opt_state=optimizer.init(params),
                        step=jnp.zeros((), jnp.int32))
-    mesh = make_mesh()
+    # Data-parallel over as many devices as the batch divides into evenly.
+    import math
+    n_data = math.gcd(tcfg.batch_size, len(jax.devices()))
+    mesh = make_mesh(n_data=n_data, n_model=1)
     step_fn = make_train_step(make_dt_apply(cfg, train=True), optimizer)
 
     os.makedirs(tcfg.checkpoint_dir, exist_ok=True)

@@ -1,0 +1,85 @@
+"""End-to-end CLI smoke tests (reference command surface, main.py:133-155)
+on synthetic fixtures with random weights."""
+import json
+import os
+
+import h5py
+import numpy as np
+import pytest
+from scipy.io import savemat
+
+import main as cli
+from dt4image_restoration_tpu.data import make_mat_record
+
+
+@pytest.fixture
+def eval_dir(tmp_path):
+    d = tmp_path / "4_15"
+    os.makedirs(d)
+    for i in range(2):
+        savemat(d / f"img_4_15_s{i}.mat", make_mat_record(seed=i))
+    return str(d)
+
+
+@pytest.fixture
+def train_fixture(tmp_path, rng):
+    h5_path = tmp_path / "states.h5"
+    data_dir = tmp_path / "trajs"
+    os.makedirs(data_dir)
+    with h5py.File(h5_path, "w") as f:
+        for traj_idx in range(4):
+            paths = []
+            for t in range(6):
+                key = f"t{traj_idx}/s{t}"
+                f.create_dataset(key, data=rng.integers(
+                    0, 256, (128, 128)).astype(np.uint8))
+                paths.append("0123456789" + key)
+            traj = {
+                "RTG": list(np.linspace(5, 0, 6)),
+                "Actions": {k: list(rng.uniform(0, 1, 6))
+                            for k in ("T", "sigma_d", "mu")},
+                "State Paths": paths,
+                "Task": "4x_10",
+            }
+            with open(data_dir / f"traj_{traj_idx}.json", "w") as jf:
+                json.dump(traj, jf)
+    return str(data_dir), str(h5_path)
+
+
+def test_cli_eval_smoke(eval_dir, capsys):
+    cli.main(["--block_size", "18", "--n_embeds", "9", "eval",
+              "--rtg", "10", "--max_timesteps", "8",
+              "--checkpoint", "/nonexistent.pt",
+              "--denoiser_ckpt", "/nonexistent.pt",
+              "--data_dirs", eval_dir])
+    out = capsys.readouterr().out
+    assert "Average reward" in out and "PSNR increment" in out
+
+
+def test_cli_mcts_smoke(eval_dir, capsys, monkeypatch):
+    # Shrink the search so the smoke test stays fast (cmd_mcts imports
+    # MCTSConfig from the config module at call time).
+    import dt4image_restoration_tpu.config as config_mod
+    orig_cls = config_mod.MCTSConfig
+    monkeypatch.setattr(
+        config_mod, "MCTSConfig",
+        lambda **kw: orig_cls(**{"iterations": 2, **kw}))
+    cli.main(["--block_size", "18", "--n_embeds", "9", "mcts",
+              "--rtg", "5", "--max_timesteps", "6",
+              "--checkpoint", "/nonexistent.pt",
+              "--denoiser_ckpt", "/nonexistent.pt",
+              "--data_dirs", eval_dir])
+    out = capsys.readouterr().out
+    assert "MCTS Reward" in out
+
+
+def test_cli_train_smoke(train_fixture, tmp_path, capsys, monkeypatch):
+    data_dir, h5_path = train_fixture
+    monkeypatch.chdir(tmp_path)
+    cli.main(["--block_size", "18", "train", "--batch_size", "2",
+              "--save_every", "1", "--max_epochs", "1",
+              "--data_dir", data_dir, "--state_file", h5_path,
+              "--checkpoint_dir", str(tmp_path / "ckpts")])
+    out = capsys.readouterr().out
+    assert "Training complete" in out
+    assert os.path.isdir(tmp_path / "ckpts" / "model_0")
