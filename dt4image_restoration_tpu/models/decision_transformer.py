@@ -53,6 +53,12 @@ def _normal_init(std: float = 0.02):
     return nn.initializers.normal(stddev=std)
 
 
+def _compute_dtype(cfg: ModelConfig):
+    # Compute dtype for matmul/conv layers (params stay float32) -- the JAX
+    # analogue of the reference's bf16 autocast (main.py:37-40).
+    return jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+
+
 class LayerNorm(nn.Module):
     """LayerNorm with torch semantics (eps=1e-5) and an optional fused
     Pallas kernel. Param names match nn.LayerNorm so converted checkpoints
@@ -65,6 +71,7 @@ class LayerNorm(nn.Module):
         e = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (e,))
         bias = self.param("bias", nn.initializers.zeros, (e,))
+        x = x.astype(jnp.float32)  # norms run in f32 (autocast semantics)
         if self.use_pallas:
             from dt4image_restoration_tpu.ops.pallas import layernorm_pallas
             return layernorm_pallas(x, scale, bias, eps=self.epsilon)
@@ -83,7 +90,8 @@ class Attention(nn.Module):
         b, t, e = x.shape
         h = cfg.n_heads
         qkv = nn.Dense(3 * e, kernel_init=_normal_init(),
-                       bias_init=nn.initializers.zeros, name="qkv_proj")(x)
+                       bias_init=nn.initializers.zeros,
+                       dtype=_compute_dtype(cfg), name="qkv_proj")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(b, t, h, e // h).transpose(0, 2, 1, 3)
         k = k.reshape(b, t, h, e // h).transpose(0, 2, 1, 3)
@@ -92,7 +100,9 @@ class Attention(nn.Module):
         if cfg.use_pallas and deterministic:
             from dt4image_restoration_tpu.ops.pallas import (
                 fused_causal_attention)
-            y = fused_causal_attention(q, k, v)
+            y = fused_causal_attention(
+                q.astype(jnp.float32), k.astype(jnp.float32),
+                v.astype(jnp.float32)).astype(x.dtype)
         else:
             att = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                              preferred_element_type=jnp.float32)
@@ -105,7 +115,8 @@ class Attention(nn.Module):
                            preferred_element_type=jnp.float32).astype(x.dtype)
         y = y.transpose(0, 2, 1, 3).reshape(b, t, e)
         y = nn.Dense(e, kernel_init=_normal_init(),
-                     bias_init=nn.initializers.zeros, name="o_proj")(y)
+                     bias_init=nn.initializers.zeros,
+                     dtype=_compute_dtype(cfg), name="o_proj")(y)
         return nn.Dropout(cfg.dropout)(y, deterministic=deterministic)
 
 
@@ -122,10 +133,12 @@ class Block(nn.Module):
             deterministic)
         h = LayerNorm(use_pallas=cfg.use_pallas, name="ln2")(x)
         h = nn.Dense(4 * cfg.embed_dim, kernel_init=_normal_init(),
-                     bias_init=nn.initializers.zeros, name="fc")(h)
+                     bias_init=nn.initializers.zeros,
+                     dtype=_compute_dtype(cfg), name="fc")(h)
         h = jax.nn.gelu(h, approximate=False)
         h = nn.Dense(cfg.embed_dim, kernel_init=_normal_init(),
-                     bias_init=nn.initializers.zeros, name="fc_proj")(h)
+                     bias_init=nn.initializers.zeros,
+                     dtype=_compute_dtype(cfg), name="fc_proj")(h)
         return nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
 
 
@@ -140,17 +153,21 @@ class StateEncoder(nn.Module):
         s = cfg.image_size
         x = states.reshape(b * t, s, s, 1)
         x = nn.Conv(8, (8, 8), strides=(4, 4), padding="VALID",
-                    kernel_init=_normal_init(), name="conv0")(x)
+                    kernel_init=_normal_init(),
+                    dtype=_compute_dtype(cfg), name="conv0")(x)
         x = jax.nn.relu(x)
         x = nn.Conv(16, (4, 4), strides=(2, 2), padding="VALID",
-                    kernel_init=_normal_init(), name="conv1")(x)
+                    kernel_init=_normal_init(),
+                    dtype=_compute_dtype(cfg), name="conv1")(x)
         x = jax.nn.relu(x)
         x = nn.Conv(16, (3, 3), strides=(1, 1), padding="VALID",
-                    kernel_init=_normal_init(), name="conv2")(x)
+                    kernel_init=_normal_init(),
+                    dtype=_compute_dtype(cfg), name="conv2")(x)
         x = jax.nn.relu(x)
         x = x.reshape(b * t, -1)
         x = nn.Dense(cfg.embed_dim, kernel_init=_normal_init(),
-                     bias_init=nn.initializers.zeros, name="dense")(x)
+                     bias_init=nn.initializers.zeros,
+                     dtype=_compute_dtype(cfg), name="dense")(x)
         x = jnp.tanh(x)
         return x.reshape(b, t, cfg.embed_dim)
 
@@ -219,12 +236,14 @@ class DecisionTransformer(nn.Module):
         raw_actions = jax.nn.sigmoid(
             nn.Dense(cfg.action_dim, kernel_init=_normal_init(),
                      bias_init=nn.initializers.zeros,
-                     name="predict_action")(x[:, :, 1]))
+                     name="predict_action")(x[:, :, 1])
+        ).astype(jnp.float32)
         pred_rtg = None
         if actions is not None:
             pred_rtg = nn.Dense(1, kernel_init=_normal_init(),
                                 bias_init=nn.initializers.zeros,
-                                name="predict_rtg")(x[:, :, 2])
+                                name="predict_rtg")(x[:, :, 2]
+                                                    ).astype(jnp.float32)
 
         pred_actions, action_dict = transform_actions(raw_actions, cfg.mode)
         return DTOutput(pred_actions=pred_actions, pred_rtg=pred_rtg,

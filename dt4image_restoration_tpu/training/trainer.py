@@ -118,6 +118,7 @@ class Trainer:
     # ^ epoch -> iterator of host batches
     shard: Callable[[Dict[str, np.ndarray]], Dict[str, jnp.ndarray]]
     checkpoint_dir: Optional[str] = None
+    resume_from: Optional[str] = None  # path of a full-state checkpoint
 
     def __post_init__(self):
         self._wandb = None
@@ -131,6 +132,16 @@ class Trainer:
                 logger.warning("wandb unavailable; continuing without it")
 
     def train(self) -> TrainState:
+        if self.resume_from:
+            # Resume params + optimizer state + step counter (the reference
+            # is save-only, train.py:122-152; resume is an intended upgrade,
+            # SURVEY.md §5 checkpoint/resume).
+            from dt4image_restoration_tpu.utils.checkpoint import (
+                restore_checkpoint)
+            self.state = restore_checkpoint(
+                self.resume_from, like=jax.device_get(self.state))
+            logger.info("resumed from %s at step %d", self.resume_from,
+                        int(self.state.step))
         rng = jax.random.PRNGKey(self.config.seed)
         losses = []
         for epoch in range(self.config.max_epochs):
@@ -154,6 +165,10 @@ class Trainer:
                 save_checkpoint(
                     os.path.join(self.checkpoint_dir, f"model_{epoch}"),
                     jax.device_get(self.state.params))
+                # Full state (params + opt state + step) for resume.
+                save_checkpoint(
+                    os.path.join(self.checkpoint_dir, "state_latest"),
+                    jax.device_get(self.state))
         if self._wandb:
             self._wandb.finish()
         self.last_losses = [float(l) for l in losses[-10:]]

@@ -92,7 +92,7 @@ def cmd_train(args) -> None:
     tasks, (min_rtg, max_rtg) = tasks_for_experiment(args.training_type)
     cfg = ModelConfig(block_size=args.block_size, n_embeds=len(tasks),
                       mode="flex" if args.training_type == "flexible"
-                      else "norm")
+                      else "norm", dtype=args.dtype)
     tcfg = TrainerConfig(batch_size=args.batch_size,
                          max_epochs=args.max_epochs,
                          save_every=args.save_every,
@@ -120,7 +120,8 @@ def cmd_train(args) -> None:
         batches=lambda epoch: dataset.batches(tcfg.batch_size,
                                               seed=tcfg.seed + epoch),
         shard=lambda b: shard_batch(b, mesh),
-        checkpoint_dir=tcfg.checkpoint_dir)
+        checkpoint_dir=tcfg.checkpoint_dir,
+        resume_from=args.resume)
     with mesh:
         trainer.train()
     print("Training complete; last losses:", trainer.last_losses)
@@ -213,6 +214,11 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--data_dir", default="dataset/data/new_json_folder")
     t.add_argument("--state_file", default="dataset/data/data_1_410.h5")
     t.add_argument("--checkpoint_dir", default="checkpoints")
+    t.add_argument("--resume", default=None,
+                   help="path of a state_latest checkpoint to resume from")
+    t.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="compute dtype (bfloat16 = the reference's autocast)")
 
     for name, ckpt in (("eval", "checkpoints/model_experiment_2.pt"),
                        ("mcts", "checkpoints/model_experiment_2.pt"),

@@ -1,0 +1,100 @@
+"""Auxiliary subsystem tests: bf16 compute policy, profiling hooks,
+training resume (SURVEY.md §5)."""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dt4image_restoration_tpu.config import ModelConfig, TrainerConfig
+from dt4image_restoration_tpu.models.decision_transformer import (
+    init_dt_params, make_dt_apply)
+from dt4image_restoration_tpu.utils.profiling import (
+    StepTimer, annotate, trace_if_enabled)
+
+
+def _inputs(rng, b=2, t=6):
+    return (
+        jnp.asarray(rng.uniform(0, 1, (b, t, 1)), jnp.float32),
+        jnp.asarray(rng.uniform(0, 1, (b, t, 128 * 128)), jnp.float32),
+        jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[None, :, None],
+                         (b, t, 1)),
+        jnp.asarray(rng.integers(0, 9, (b, t)), jnp.int32),
+        jnp.asarray(rng.uniform(0, 1, (b, t, 3)), jnp.float32),
+    )
+
+
+def test_bf16_forward_close_to_f32(rng):
+    params = init_dt_params(ModelConfig(block_size=18, n_embeds=9), seed=0)
+    args = _inputs(rng)
+    out32 = make_dt_apply(ModelConfig(block_size=18, n_embeds=9))(
+        params, *args)
+    out16 = make_dt_apply(
+        ModelConfig(block_size=18, n_embeds=9, dtype="bfloat16"))(
+        params, *args)
+    assert out16.pred_actions.dtype == jnp.float32  # heads cast back
+    np.testing.assert_allclose(np.asarray(out16.pred_actions),
+                               np.asarray(out32.pred_actions),
+                               rtol=0.05, atol=0.03)
+
+
+def test_step_timer():
+    timer = StepTimer()
+    for _ in range(3):
+        with timer:
+            pass
+    s = timer.summary()
+    assert s["steps"] == 3 and s["total_s"] >= 0
+
+
+def test_trace_if_enabled_noop(monkeypatch):
+    monkeypatch.delenv("DT4IR_TRACE_DIR", raising=False)
+    with trace_if_enabled():
+        pass  # no trace dir -> no-op
+
+
+def test_trace_capture(tmp_path):
+    with trace_if_enabled(str(tmp_path / "trace")):
+        with annotate("unit-test-span"):
+            jnp.sum(jnp.ones((8, 8))).block_until_ready()
+    assert os.path.isdir(tmp_path / "trace")
+
+
+def test_trainer_resume(tmp_path, rng):
+    from dt4image_restoration_tpu.training import (
+        TrainState, Trainer, make_optimizer, make_train_step)
+
+    cfg = ModelConfig(block_size=18, n_embeds=9, dropout=0.0,
+                      embd_dropout=0.0)
+    params = init_dt_params(cfg, seed=0)
+    tcfg = TrainerConfig(max_epochs=1, save_every=1, batch_size=2)
+    optimizer = make_optimizer(tcfg, max_steps=10, params=params)
+    step_fn = make_train_step(make_dt_apply(cfg, train=True), optimizer)
+
+    def batches(_):
+        r, s, ts, task, a = _inputs(rng)
+        yield {"rtg": np.asarray(r), "states": np.asarray(s),
+               "timesteps": np.asarray(ts), "task": np.asarray(task),
+               "actions": np.asarray(a),
+               "traj_masks": np.ones((2, 6, 1), np.float32)}
+
+    state = TrainState(params=params, opt_state=optimizer.init(params),
+                       step=jnp.zeros((), jnp.int32))
+    trainer = Trainer(train_step=step_fn, state=state, config=tcfg,
+                      batches=batches, shard=lambda b: b,
+                      checkpoint_dir=str(tmp_path))
+    final = trainer.train()
+    assert int(final.step) == 1
+    assert os.path.isdir(tmp_path / "state_latest")
+
+    # Second trainer resumes at step 1 and continues to step 2.
+    params2 = init_dt_params(cfg, seed=1)
+    state2 = TrainState(params=params2, opt_state=optimizer.init(params2),
+                        step=jnp.zeros((), jnp.int32))
+    trainer2 = Trainer(train_step=step_fn, state=state2, config=tcfg,
+                       batches=batches, shard=lambda b: b,
+                       checkpoint_dir=None,
+                       resume_from=str(tmp_path / "state_latest"))
+    final2 = trainer2.train()
+    assert int(final2.step) == 2
