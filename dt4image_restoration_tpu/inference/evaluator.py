@@ -217,6 +217,7 @@ class Evaluator:
     rtg_target: float = 10.0
     eval_type: str = "norm"
     report_every: int = 7
+    mesh: Optional[Any] = None  # jax.sharding.Mesh: shard images over 'data'
 
     def __post_init__(self):
         cfg = self.cfg
@@ -234,7 +235,15 @@ class Evaluator:
 
     def evaluate_records(self, records: Sequence[Tuple[Any, Any]]):
         """Evaluate a list of ``((states, rtg, actions, task), mat)`` items
-        (one batched device program). Returns a metrics dict."""
+        (one batched device program). With a ``mesh``, the image batch is
+        padded to the data-axis size and sharded across devices (the
+        replacement for the reference's one-image-at-a-time loop,
+        eval.py:112-143). Returns a metrics dict."""
+        n = len(records)
+        if self.mesh is not None:
+            pad = (-n) % self.mesh.shape["data"]
+            records = list(records) + [records[-1]] * pad
+
         policy_x0 = jnp.concatenate(
             [jnp.asarray(r[0][0]) for r in records])
         rtg0 = jnp.stack([jnp.asarray(r[0][1]).reshape(()) for r in records])
@@ -243,6 +252,14 @@ class Evaluator:
         mats = {k: np.concatenate([np.asarray(r[1][k]) for r in records])
                 for k in ("x0", "y0", "mask", "gt")}
         env_state = reset_from_mat(mats)
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            shard = lambda x: jax.device_put(
+                x, NamedSharding(self.mesh, P("data")))
+            policy_x0, rtg0, task = map(shard, (policy_x0, rtg0, task))
+            env_state = jax.tree.map(shard, env_state)
+
         old_reward = compute_reward(env_state)
 
         t0 = _time.perf_counter()
@@ -251,8 +268,9 @@ class Evaluator:
         reward.block_until_ready()
         wall = _time.perf_counter() - t0
 
-        reward = np.asarray(reward)[:, 0]
-        old = np.asarray(old_reward)[:, 0]
+        reward = np.asarray(reward)[:n, 0]
+        old = np.asarray(old_reward)[:n, 0]
+        ep_len = ep_len[:n]
         return {
             "reward": reward,
             "increment": reward - old,

@@ -37,6 +37,42 @@ BATCH_AXES = {
 }
 
 
+def maybe_initialize_distributed() -> None:
+    """Multi-process runtime init — the lawful replacement for the
+    reference's ``init_process_group('nccl', MASTER_ADDR=localhost)``
+    (main.py:43-52). No-op unless a multi-process environment is declared
+    via JAX_COORDINATOR_ADDRESS (+ JAX_NUM_PROCESSES, JAX_PROCESS_ID) or a
+    recognized cluster environment."""
+    import os
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coord is None:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coord,
+        num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+        process_id=int(os.environ["JAX_PROCESS_ID"]))
+
+
+def prefetch_to_device(iterator, mesh: Mesh, size: int = 2):
+    """Host->device double-buffered prefetch of batch dicts: the next
+    batch's H2D transfer overlaps the current step's compute (the TPU
+    analogue of DataLoader pin_memory + async H2D, main.py:55-69)."""
+    import collections
+    queue = collections.deque()
+
+    def enqueue(n):
+        for _ in range(n):
+            batch = next(iterator, None)
+            if batch is None:
+                return
+            queue.append(shard_batch(batch, mesh))
+
+    enqueue(size)
+    while queue:
+        yield queue.popleft()
+        enqueue(1)
+
+
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
               devices=None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())

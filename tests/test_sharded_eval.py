@@ -1,0 +1,84 @@
+"""Sharded batched evaluation + prefetch + distributed-init tests on the
+virtual 8-device CPU mesh."""
+import numpy as np
+import jax
+import pytest
+
+from dt4image_restoration_tpu.config import ModelConfig
+from dt4image_restoration_tpu.data import make_mat_record
+from dt4image_restoration_tpu.inference import Evaluator
+from dt4image_restoration_tpu.models import DecisionTransformer
+from dt4image_restoration_tpu.models.decision_transformer import init_dt_params
+from dt4image_restoration_tpu.training import make_mesh
+from dt4image_restoration_tpu.training.sharding import (
+    maybe_initialize_distributed, prefetch_to_device, shard_batch)
+
+CFG = ModelConfig(block_size=18, n_embeds=9, mode="norm")
+
+
+def dt_apply(params, rtg, states, timesteps, task, actions):
+    return DecisionTransformer(CFG).apply(
+        {"params": params}, rtg, states, timesteps, task, actions)
+
+
+def stub_denoise(img, sigma):
+    import jax.numpy as jnp
+    return jnp.clip(0.8 * img + 0.1, 0.0, 1.0)
+
+
+def _records(n):
+    out = []
+    for i in range(n):
+        mat = dict(make_mat_record(seed=i))
+        mat["x0"] = np.clip(mat["x0"], 0, None)
+        states = mat["x0"][..., 0].reshape(1, -1).astype(np.float32)
+        out.append(((states, np.full((1, 1), 0.6, np.float32),
+                     np.zeros(3, np.float32), np.asarray([2], np.int32)),
+                    mat))
+    return out
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_dt_params(CFG, seed=0)
+
+
+def test_sharded_eval_matches_unsharded(params):
+    """7 images (padded to 8 shards) must give identical metrics to the
+    single-device run."""
+    records = _records(7)
+    kwargs = dict(dt_apply=dt_apply, dt_params=params,
+                  denoise=stub_denoise, cfg=CFG, max_timesteps=8)
+    plain = Evaluator(**kwargs).evaluate_records(records)
+    mesh = make_mesh(n_data=8, n_model=1)
+    with mesh:
+        sharded = Evaluator(mesh=mesh, **kwargs).evaluate_records(records)
+
+    assert sharded["reward"].shape == (7,)
+    np.testing.assert_allclose(sharded["reward"], plain["reward"],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(sharded["episode_len"],
+                                  plain["episode_len"])
+
+
+def test_prefetch_to_device(rng):
+    mesh = make_mesh(n_data=8, n_model=1)
+    batches = [{
+        "states": rng.uniform(0, 1, (8, 6, 4)).astype(np.float32),
+        "actions": rng.uniform(0, 1, (8, 6, 3)).astype(np.float32),
+        "rtg": rng.uniform(0, 1, (8, 6, 1)).astype(np.float32),
+        "traj_masks": np.ones((8, 6, 1), np.float32),
+        "timesteps": np.zeros((8, 6, 1), np.int32),
+        "task": np.zeros((8, 6), np.int32),
+    } for _ in range(5)]
+    out = list(prefetch_to_device(iter(batches), mesh))
+    assert len(out) == 5
+    for got, want in zip(out, batches):
+        np.testing.assert_array_equal(np.asarray(got["states"]),
+                                      want["states"])
+        assert len(got["states"].sharding.device_set) == 8
+
+
+def test_maybe_initialize_distributed_noop(monkeypatch):
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    maybe_initialize_distributed()  # must be a no-op without env
