@@ -219,8 +219,19 @@ class Evaluator:
     report_every: int = 7
     mesh: Optional[Any] = None  # jax.sharding.Mesh: shard images over 'data'
 
+    # Process-wide compiled-program cache: evaluators over the same model,
+    # denoiser, config, and horizon share one XLA program (flex mode builds
+    # 5 evaluators for 5 RTG targets, main.py:200-203 — identical programs).
+    _GLOBAL_PROGRAMS = {}
+
     def __post_init__(self):
         cfg = self.cfg
+        key = (id(self.dt_apply), id(self.denoise), cfg,
+               self.max_timesteps)
+        cached = Evaluator._GLOBAL_PROGRAMS.get(key)
+        if cached is not None:
+            self._run_batch = cached
+            return
 
         def run(params, policy_x0, rtg0, task, env_state):
             bufs, _, action_dict, pred_rtg = initial_policy_setup(
@@ -232,6 +243,7 @@ class Evaluator:
             return final, reward, ep_len
 
         self._run_batch = jax.jit(run)
+        Evaluator._GLOBAL_PROGRAMS[key] = self._run_batch
 
     def evaluate_records(self, records: Sequence[Tuple[Any, Any]]):
         """Evaluate a list of ``((states, rtg, actions, task), mat)`` items

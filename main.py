@@ -148,10 +148,20 @@ def cmd_eval(args) -> None:
 
 
 def cmd_flex(args) -> None:
+    from dt4image_restoration_tpu.config import ModelConfig
+    from dt4image_restoration_tpu.inference import Evaluator
     dirs = args.data_dirs or EVAL_DIRS_6
+    # Load the model/denoiser once; the 5 RTG-target evaluators share one
+    # compiled program (reference reloads per target, main.py:200-203).
+    cfg = ModelConfig(block_size=args.block_size, n_embeds=args.n_embeds,
+                      mode="flex")
+    dt_apply, dt_params = _load_dt(cfg, args.checkpoint)
+    denoise = _load_denoiser(args.denoiser_ckpt)
     for rtg in FLEX_RTGS:
-        evaluator = _make_evaluator(args, "flex", args.checkpoint, rtg,
-                                    "flex")
+        evaluator = Evaluator(
+            dt_apply=dt_apply, dt_params=dt_params, denoise=denoise,
+            cfg=cfg, max_timesteps=args.max_timesteps or 30,
+            rtg_target=float(rtg), eval_type="flex")
         print(f"Test for reward increment: {rtg}\n")
         total = evaluator.run([d for d in dirs if os.path.isdir(d)] or dirs)
         print(f"\nAverage increment: {total / len(dirs)}\n")

@@ -73,6 +73,19 @@ def test_cli_mcts_smoke(eval_dir, capsys, monkeypatch):
     assert "MCTS Reward" in out
 
 
+def test_cli_flex_smoke(eval_dir, capsys, monkeypatch):
+    # One RTG target keeps the smoke test fast; the evaluators share one
+    # compiled program either way.
+    monkeypatch.setattr(cli, "FLEX_RTGS", [3])
+    cli.main(["--block_size", "18", "--n_embeds", "6", "flex",
+              "--max_timesteps", "8",
+              "--checkpoint", "/nonexistent.pt",
+              "--denoiser_ckpt", "/nonexistent.pt",
+              "--data_dirs", eval_dir])
+    out = capsys.readouterr().out
+    assert "Average increment" in out
+
+
 def test_cli_train_smoke(train_fixture, tmp_path, capsys, monkeypatch):
     data_dir, h5_path = train_fixture
     monkeypatch.chdir(tmp_path)
