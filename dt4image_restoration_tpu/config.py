@@ -134,6 +134,11 @@ class Config:
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
 
 
+# Familiar alias for users migrating from the reference
+# (decision_transformer.py:279-291).
+DecisionTransformerConfig = ModelConfig
+
+
 def tasks_for_experiment(training_type: str) -> Tuple[Tuple[str, ...], Tuple[float, float]]:
     """Task vocab + RTG range per experiment.
 

@@ -5,9 +5,12 @@ from dt4image_restoration_tpu.data.synthetic import (
 )
 from dt4image_restoration_tpu.data.datasets import (
     EvaluationDataset,
+    EvaluationFlexibleDataset,
+    EvaluationOptimalDataset,
     TrainingDataset,
     extract_task,
 )
 
 __all__ = ["make_mat_record", "radial_mask", "shepp_logan",
-           "EvaluationDataset", "TrainingDataset", "extract_task"]
+           "EvaluationDataset", "EvaluationFlexibleDataset",
+           "EvaluationOptimalDataset", "TrainingDataset", "extract_task"]

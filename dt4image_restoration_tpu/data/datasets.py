@@ -204,10 +204,27 @@ class EvaluationDataset:
                   ("x0", "y0", "mask", "ATy0", "gt")}
         record["x0"] = np.clip(record["x0"], 0, None)
 
-        s = self.image_size
         states = record["x0"][..., 0].reshape(1, -1).astype(np.float32)
         rtg = minmax_normalize(self.rtg_target, self.min_rtg, self.max_rtg)
         rtg = np.full((1, 1), rtg, np.float32)
         actions = np.zeros((self.action_dim,), np.float32)
         task = np.asarray([self._task_token(fn)], np.int32)
         return (states, rtg, actions, task), record
+
+
+class EvaluationFlexibleDataset(EvaluationDataset):
+    """Reference-familiar alias (datasets.py:135-168)."""
+
+    def __init__(self, data_dir: str, rtg_target: float, action_dim: int = 3,
+                 block_size: int = None, **kw) -> None:
+        super().__init__(data_dir, rtg_target, kind="flex",
+                         action_dim=action_dim, **kw)
+
+
+class EvaluationOptimalDataset(EvaluationDataset):
+    """Reference-familiar alias (datasets.py:171-207)."""
+
+    def __init__(self, data_dir: str, rtg_target: float, action_dim: int = 3,
+                 block_size: int = None, **kw) -> None:
+        super().__init__(data_dir, rtg_target, kind="optimal",
+                         action_dim=action_dim, **kw)

@@ -4,4 +4,8 @@ from dt4image_restoration_tpu.models.decision_transformer import (
     DTOutput,
 )
 
-__all__ = ["UNet", "UNetDenoiser", "DecisionTransformer", "DTOutput"]
+# Reference-familiar alias (noise.py:139).
+UNetDenoiser2D = UNetDenoiser
+
+__all__ = ["UNet", "UNetDenoiser", "UNetDenoiser2D", "DecisionTransformer",
+           "DTOutput"]
