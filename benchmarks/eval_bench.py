@@ -1,0 +1,98 @@
+"""Extended benchmarks for the DT-driven inference configs
+(BASELINE.json configs 2-4): greedy eval, flex decode, MCTS — on synthetic
+CSMRI data with converter-shaped random weights (published checkpoints are
+download-gated; weights do not change the compute cost).
+
+Run on TPU:  python benchmarks/eval_bench.py
+Prints one JSON line with per-config throughput.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main() -> None:
+    import jax
+
+    from dt4image_restoration_tpu.config import MCTSConfig, ModelConfig
+    from dt4image_restoration_tpu.data import make_mat_record
+    from dt4image_restoration_tpu.inference import Evaluator
+    from dt4image_restoration_tpu.inference.mcts import MCTS
+    from dt4image_restoration_tpu.models import UNetDenoiser
+    from dt4image_restoration_tpu.models.arniqa import proxy_value_fn
+    from dt4image_restoration_tpu.models.decision_transformer import (
+        init_dt_params, make_dt_apply)
+    from dt4image_restoration_tpu.utils.checkpoint import (
+        convert_unet_state_dict)
+    from dt4image_restoration_tpu.utils.torch_reference import (
+        random_unet_state_dict)
+
+    results = {"platform": jax.devices()[0].platform}
+
+    den_params = convert_unet_state_dict(random_unet_state_dict(0))
+    den_model = UNetDenoiser()
+    denoise = lambda img, sig: den_model.apply({"params": den_params}, img,
+                                               sig)
+
+    def records(n):
+        out = []
+        for i in range(n):
+            mat = dict(make_mat_record(seed=i))
+            mat["x0"] = np.clip(mat["x0"], 0, None)
+            states = mat["x0"][..., 0].reshape(1, -1).astype(np.float32)
+            out.append(((states, np.full((1, 1), 0.6, np.float32),
+                         np.zeros(3, np.float32),
+                         np.asarray([2], np.int32)), mat))
+        return out
+
+    # --- config 2: greedy DT eval (7-image batch like the reference's
+    # reporting unit, eval.py:137-143) ------------------------------------
+    cfg = ModelConfig(block_size=18, n_embeds=9, mode="norm")
+    dt_params = init_dt_params(cfg, seed=0)
+    dt_apply = make_dt_apply(cfg)
+    ev = Evaluator(dt_apply=dt_apply, dt_params=dt_params, denoise=denoise,
+                   cfg=cfg, max_timesteps=30)
+    recs = records(7)
+    ev.evaluate_records(recs)  # compile
+    t0 = time.perf_counter()
+    m = ev.evaluate_records(recs)
+    dt_wall = time.perf_counter() - t0
+    results["greedy_eval_7img_s"] = round(dt_wall, 3)
+    results["greedy_eval_images_per_sec"] = round(7 / dt_wall, 2)
+    results["greedy_eval_mean_episode_len"] = float(
+        np.mean(m["episode_len"]))
+
+    # --- config 3: flex decode (same program, flex head mapping) ---------
+    cfg_f = ModelConfig(block_size=18, n_embeds=6, mode="flex")
+    ev_f = Evaluator(dt_apply=make_dt_apply(cfg_f),
+                     dt_params=init_dt_params(cfg_f, seed=0),
+                     denoise=denoise, cfg=cfg_f, max_timesteps=30,
+                     eval_type="flex")
+    recs_f = records(7)
+    ev_f.evaluate_records(recs_f)
+    t0 = time.perf_counter()
+    ev_f.evaluate_records(recs_f)
+    results["flex_eval_7img_s"] = round(time.perf_counter() - t0, 3)
+
+    # --- config 4: MCTS (30 search iterations, 1 image) ------------------
+    mcts = MCTS(dt_apply=dt_apply, dt_params=dt_params, denoise=denoise,
+                model_cfg=cfg, cfg=MCTSConfig(iterations=30),
+                value_fn=proxy_value_fn)
+    rec = records(1)[0]
+    mcts.run(rec, seed=0)  # compile
+    t0 = time.perf_counter()
+    mcts.run(rec, seed=1)
+    results["mcts_30iter_s"] = round(time.perf_counter() - t0, 3)
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

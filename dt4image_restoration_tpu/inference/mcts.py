@@ -60,6 +60,23 @@ class Node:
         self.reward = 0.0
         self.s_visits = 0
         self.action: Optional[np.ndarray] = None  # set when expanded
+        self.bufs = None  # device-resident EvalBuffers snapshot
+        self._policy_ob: Optional[np.ndarray] = None  # host cache
+
+    @property
+    def policy_ob(self) -> np.ndarray:
+        """Flattened real policy observation, fetched from device once and
+        cached on the host (buffer rebuilds walk the ancestry every
+        expansion/rollout, mcts.py:40-51 — refetching per walk would pay a
+        device round-trip per ancestor)."""
+        if self._policy_ob is None:
+            self._policy_ob = np.asarray(
+                self.policy_state.x[..., 0]).reshape(-1)
+        return self._policy_ob
+
+    def set_policy_state(self, state: CSMRIState) -> None:
+        self.policy_state = state
+        self._policy_ob = None
 
     def __repr__(self) -> str:
         return f"Node(time = {self.time}, edge = {self.edge})_{self.index}"
@@ -146,36 +163,45 @@ class MCTS:
         self._expand_step = jax.jit(
             lambda s, a: admm_step(self.denoise, s, a))
 
-    # -- buffer reconstruction from node ancestry (mcts.py:40-59) ---------
-    def _build_buffers(self, node: Node, task: int) -> EvalBuffers:
-        maxt = self.cfg.max_timesteps
-        s = self.model_cfg.image_size ** 2
-        states = np.zeros((1, maxt, s), np.float32)
-        rtg = np.zeros((1, maxt, 1), np.float32)
-        actions = np.zeros((1, maxt, 3), np.float32)
-        for n in node.ancestry():
-            t = max(n.time, 0)
-            states[0, t] = np.asarray(n.policy_state.x[..., 0]).reshape(-1)
-            rtg[0, t] = n.policy_rtg
-        # Actions come from the parent chain; the current node's own action
-        # is not yet set (mcts.py:107-108).
-        if node.parent is not None:
-            for n in node.parent.ancestry():
-                if n.action is not None:
-                    actions[0, max(n.time, 0)] = n.action
-        return EvalBuffers(
-            states=jnp.asarray(states), actions=jnp.asarray(actions),
-            rtg=jnp.asarray(rtg),
-            task=jnp.asarray([task], jnp.int32))
+        # Device-resident incremental buffer updates. The reference rebuilds
+        # the 2MB policy buffers on the host from node ancestry on every
+        # expansion/rollout (mcts.py:40-59,93-108); here each node snapshots
+        # its (immutable) device buffers, so ancestry walks and host<->device
+        # buffer transfers disappear from the search loop.
+        s = cfg.image_size ** 2
+
+        @jax.jit
+        def seed_bufs(policy_x0, rtg0, task):
+            return EvalBuffers(
+                states=jnp.zeros((1, maxt, s)).at[:, 0].set(policy_x0),
+                actions=jnp.zeros((1, maxt, cfg.action_dim)),
+                rtg=jnp.zeros((1, maxt, 1)).at[:, 0, 0].set(rtg0),
+                task=task.reshape(1).astype(jnp.int32))
+
+        @jax.jit
+        def child_bufs(bufs, t, stepped_slot0, pred_rtg):
+            ob = stepped_slot0.x[..., 0].reshape(1, -1)
+            return bufs.replace(
+                states=jax.lax.dynamic_update_slice_in_dim(
+                    bufs.states, ob[:, None], t, axis=1),
+                rtg=jax.lax.dynamic_update_slice_in_dim(
+                    bufs.rtg, jnp.reshape(pred_rtg, (1, 1, 1)), t, axis=1))
+
+        self._seed_bufs = seed_bufs
+        self._child_bufs = child_bufs
 
     # -- expansion (mcts.py:103-143) --------------------------------------
     def expand(self, node: Node, task: int, key, index_tree: int
                ) -> Tuple[Node, Dict[str, float], float]:
-        bufs = self._build_buffers(node, task)
-        action_vec, action_dict, pred_rtg, _ = self._policy_step(
-            self.dt_params, bufs, node.time)
+        action_vec, action_dict, pred_rtg, bufs_upd = self._policy_step(
+            self.dt_params, node.bufs, node.time)
+        # Record the node's model action in its buffers (descendants see it,
+        # like the reference's build_action over expanded ancestors,
+        # mcts.py:53-59,107-108).
+        node.bufs = bufs_upd
         node.action = np.asarray(action_vec[0])
-        adict = {k: float(v[0]) for k, v in action_dict.items()}
+        adict = {k: float(v[0]) for k, v in jax.device_get(action_dict
+                                                           ).items()}
 
         k1, k2 = jax.random.split(key)
         sigma_d, probs = sample_actions(
@@ -195,23 +221,27 @@ class MCTS:
         }
         stepped = self._expand_step(batch_state, batch_action)
 
-        node.policy_state = _index_state(stepped, 0)
+        node.set_policy_state(_index_state(stepped, 0))
         pred_rtg_f = float(pred_rtg[0])
+        # All children share one (immutable) buffer snapshot: ancestry
+        # states/actions + this node's policy state and RTG at slot time+1.
+        shared_bufs = self._child_bufs(node.bufs, node.time + 1,
+                                       node.policy_state, pred_rtg[0])
         for i in range(n):
             child = Node(time=node.time + 1, prob=float(probs[i]),
                          parent=node, edge=i, index=index_tree,
                          env_state=_index_state(stepped, i + 1),
                          policy_state=node.policy_state,
                          policy_rtg=pred_rtg_f)
+            child.bufs = shared_bufs
             node.children.append(child)
         return node, adict, pred_rtg_f
 
     # -- rollout (mcts.py:198-207) ----------------------------------------
     def beam_search(self, node: Node, task: int
                     ) -> Tuple[float, np.ndarray, int]:
-        bufs = self._build_buffers(node, task)
         _, action_dict, pred_rtg, bufs = self._policy_step(
-            self.dt_params, bufs, node.time)
+            self.dt_params, node.bufs, node.time)
         final, _, ep_len, _ = self._rollout(
             self.dt_params, node.env_state, bufs,
             {k: v for k, v in action_dict.items()},
@@ -229,6 +259,10 @@ class MCTS:
         root = Node(time=0, prob=1.0, parent=None, edge=0, index=0,
                     env_state=env_state, policy_state=env_state,
                     policy_rtg=float(np.asarray(rtg0).reshape(-1)[0]))
+        root.bufs = self._seed_bufs(
+            jnp.asarray(states0).reshape(1, -1),
+            jnp.asarray(rtg0).reshape(()),
+            jnp.asarray(task0).reshape(-1)[:1])
         root.s_visits = 1
 
         program_rewards: Dict[str, float] = {}

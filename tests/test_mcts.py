@@ -76,9 +76,12 @@ def mcts():
 def test_expand_creates_batched_children(mcts):
     from dt4image_restoration_tpu.env import reset_from_mat
     record = _record()
-    (_, rtg0, _, _), mat = record
+    (states0, rtg0, _, task0), mat = record
     env_state = reset_from_mat(mat)
     root = Node(0, 1.0, None, 0, 0, env_state, env_state, float(rtg0[0, 0]))
+    root.bufs = mcts._seed_bufs(
+        jnp.asarray(states0), jnp.asarray(rtg0).reshape(()),
+        jnp.asarray(task0))
     node, adict, pred_rtg = mcts.expand(root, task=2,
                                         key=jax.random.PRNGKey(1),
                                         index_tree=0)
