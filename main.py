@@ -51,9 +51,10 @@ def _load_denoiser(path: str):
               "using random weights (smoke-test mode)", file=sys.stderr)
         import jax
         import jax.numpy as jnp
-        params = model.init(jax.random.PRNGKey(0),
-                            jnp.zeros((1, 128, 128, 1)),
-                            jnp.zeros((1,)))["params"]
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            params = model.init(jax.random.PRNGKey(0),
+                                jnp.zeros((1, 128, 128, 1)),
+                                jnp.zeros((1,)))["params"]
 
     def denoise(img, sigma):
         return model.apply({"params": params}, img, sigma)
@@ -73,7 +74,9 @@ def _load_dt(cfg, path: str):
     else:
         print(f"WARNING: DT checkpoint {path!r} not found; using random "
               "weights (smoke-test mode)", file=sys.stderr)
-        params = init_dt_params(cfg, seed=0)
+        import jax
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            params = init_dt_params(cfg, seed=0)
     return make_dt_apply(cfg), params
 
 
@@ -130,6 +133,7 @@ def cmd_train(args) -> None:
 def _make_evaluator(args, mode: str, ckpt: str, rtg_target, eval_type):
     from dt4image_restoration_tpu.config import ModelConfig
     from dt4image_restoration_tpu.inference import Evaluator
+    rtg_target = float(rtg_target)  # validate before any model loading
     cfg = ModelConfig(block_size=args.block_size, n_embeds=args.n_embeds,
                       mode=mode)
     dt_apply, dt_params = _load_dt(cfg, ckpt)
@@ -172,6 +176,8 @@ def cmd_mcts(args) -> None:
     from dt4image_restoration_tpu.data.datasets import EvaluationDataset
     from dt4image_restoration_tpu.inference.mcts import MCTS
 
+    rtg_target = float(args.rtg)  # validate before any model loading
+
     cfg = ModelConfig(block_size=args.block_size, n_embeds=args.n_embeds,
                       mode="norm")
     dt_apply, dt_params = _load_dt(cfg, args.checkpoint)
@@ -197,7 +203,7 @@ def cmd_mcts(args) -> None:
     dirs = args.data_dirs or EVAL_DIRS_9
     total = 0.0
     for path in (d for d in dirs if os.path.isdir(d)):
-        ds = EvaluationDataset(path, rtg_target=float(args.rtg),
+        ds = EvaluationDataset(path, rtg_target=rtg_target,
                                kind="optimal")
         for i in range(len(ds)):
             total += mcts.run(ds[i], seed=args.seed + i)
