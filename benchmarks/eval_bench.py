@@ -81,7 +81,8 @@ def main() -> None:
     ev_f.evaluate_records(recs_f)
     results["flex_eval_7img_s"] = round(time.perf_counter() - t0, 3)
 
-    # --- config 4: MCTS (30 search iterations, 1 image) ------------------
+    # --- config 4: MCTS (30 search iterations) ---------------------------
+    from dt4image_restoration_tpu.inference.mcts import BatchedMCTS
     mcts = MCTS(dt_apply=dt_apply, dt_params=dt_params, denoise=denoise,
                 model_cfg=cfg, cfg=MCTSConfig(iterations=30),
                 value_fn=proxy_value_fn)
@@ -90,6 +91,19 @@ def main() -> None:
     t0 = time.perf_counter()
     mcts.run(rec, seed=1)
     results["mcts_30iter_s"] = round(time.perf_counter() - t0, 3)
+
+    # Lockstep trees: a whole directory's images in one batched search.
+    bm = BatchedMCTS(dt_apply=dt_apply, dt_params=dt_params,
+                     denoise=denoise, model_cfg=cfg,
+                     cfg=MCTSConfig(iterations=30),
+                     value_fn=proxy_value_fn)
+    recs7 = records(7)
+    bm.run_batch(recs7)  # compile (new batch shape)
+    t0 = time.perf_counter()
+    bm.run_batch(recs7, seeds=list(range(7)))
+    wall = time.perf_counter() - t0
+    results["mcts_batched_7img_s"] = round(wall, 3)
+    results["mcts_batched_s_per_image"] = round(wall / 7, 3)
 
     print(json.dumps(results))
 

@@ -52,38 +52,40 @@ def make_policy_step(dt_apply: Callable, cfg: ModelConfig):
 
     Returns ``(action_vec (B, A), action_dict {k: (B,)}, pred_rtg (B,),
     updated buffers)`` with the new action written at slot ``t``.
-    Pure + jittable; ``t`` may be a traced scalar.
+    Pure + jittable. ``t`` may be a traced scalar or a per-image (B,)
+    vector — batched tree search advances trees at different depths in one
+    call (windows become per-image gathers on the TPU).
     """
     ctx = cfg.context_length
 
-    def window(buf, start):
-        return jax.lax.dynamic_slice_in_dim(buf, start, ctx, axis=1)
-
     def policy_step(params, bufs: EvalBuffers, t):
-        t = jnp.asarray(t, jnp.int32)
         b = bufs.states.shape[0]
+        t = jnp.broadcast_to(jnp.asarray(t, jnp.int32).reshape(-1), (b,))
         start = jnp.maximum(t - ctx, 0)
-        timesteps = start + jnp.arange(ctx, dtype=jnp.int32)[None, :]
-        timesteps = jnp.broadcast_to(timesteps, (b, ctx))
+        timesteps = start[:, None] + jnp.arange(ctx, dtype=jnp.int32)[None]
         task = jnp.broadcast_to(bufs.task[:, None], (b, ctx))
 
-        out = dt_apply(params, window(bufs.rtg, start),
-                       window(bufs.states, start), timesteps, task,
-                       window(bufs.actions, start))
-        read_idx = jnp.minimum(t, ctx - 1)
-        action_vec = jnp.take(out.pred_actions, read_idx, axis=1)
-        action_dict = {k: jnp.take(v, read_idx, axis=1)[:, 0]
-                       for k, v in out.action_dict.items()}
+        def window(buf):
+            return jnp.take_along_axis(buf, timesteps[:, :, None], axis=1)
 
-        actions = jax.lax.dynamic_update_slice_in_dim(
-            bufs.actions, action_vec[:, None, :], t, axis=1)
+        out = dt_apply(params, window(bufs.rtg), window(bufs.states),
+                       timesteps, task, window(bufs.actions))
+        read_idx = jnp.minimum(t, ctx - 1)
+        action_vec = jnp.take_along_axis(
+            out.pred_actions, read_idx[:, None, None], axis=1)[:, 0]
+        action_dict = {
+            k: jnp.take_along_axis(v, read_idx[:, None, None],
+                                   axis=1)[:, 0, 0]
+            for k, v in out.action_dict.items()}
+
+        actions = bufs.actions.at[jnp.arange(b), t].set(action_vec)
         bufs = bufs.replace(actions=actions)
 
-        out2 = dt_apply(params, window(bufs.rtg, start),
-                        window(bufs.states, start), timesteps, task,
-                        window(bufs.actions, start))
+        out2 = dt_apply(params, window(bufs.rtg), window(bufs.states),
+                        timesteps, task, window(bufs.actions))
         rtg_idx = jnp.where(t < ctx, jnp.minimum(t, ctx - 1), ctx - 2)
-        pred_rtg = jnp.take(out2.pred_rtg, rtg_idx, axis=1)[:, 0]
+        pred_rtg = jnp.take_along_axis(
+            out2.pred_rtg, rtg_idx[:, None, None], axis=1)[:, 0, 0]
         return action_vec, action_dict, pred_rtg, bufs
 
     return policy_step
@@ -144,23 +146,25 @@ def greedy_rollout(dt_apply: Callable, denoise: Callable, cfg: ModelConfig,
     ``episode_len`` is the reference's returned ``time`` — the iteration at
     which the episode finished (stop action or ``max_timesteps``).
 
-    ``start_time`` may be a traced scalar (MCTS rollouts start from the
-    node's depth, mcts.py:206): the scan always spans [0, max_timesteps] and
-    iterations before ``start_time`` are masked no-ops, keeping one compiled
-    program for every depth.
+    ``start_time`` may be a traced scalar or per-image (B,) vector (MCTS
+    rollouts start from each node's depth, mcts.py:206): the scan always
+    spans [0, max_timesteps] and iterations before ``start_time`` are
+    masked no-ops per image, keeping one compiled program for every depth.
     """
     policy_step = make_policy_step(dt_apply, cfg)
-    start_time = jnp.asarray(start_time, jnp.int32)
+    n_img = env_state.batch
+    start_time = jnp.broadcast_to(
+        jnp.asarray(start_time, jnp.int32).reshape(-1), (n_img,))
 
     def body(carry, t):
         env_state, bufs, action_dict, pred_rtg, finished, ep_len = carry
-        started = t >= start_time
+        started = t >= start_time  # (B,)
 
         prev_state = env_state
         stepped = admm_step(denoise, env_state, action_dict)
         env_state = jax.tree.map(
             lambda new, old: jnp.where(
-                jnp.reshape(started, (1,) * new.ndim), new, old),
+                started.reshape((-1,) + (1,) * (new.ndim - 1)), new, old),
             stepped, prev_state)
         finished_now = (env_state.done | (t == max_timesteps)) & started
         newly = finished_now & ~finished

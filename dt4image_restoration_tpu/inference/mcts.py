@@ -115,16 +115,19 @@ def select_p_ucb(parent: Node, c_base: float = 10.0, c: float = 30.0
     return best
 
 
-def sample_actions(key, loc: float, std: float, n: int
+def sample_actions(rng: np.random.Generator, loc: float, std: float, n: int
                    ) -> Tuple[np.ndarray, np.ndarray]:
-    """|N(loc, std)| samples sorted by descending density (mcts.py:64-70)."""
-    raw = loc + std * jax.random.normal(key, (n,))
-    samples = jnp.abs(raw)
-    log_prob = -0.5 * ((raw - loc) / std) ** 2 \
-        - jnp.log(std * jnp.sqrt(2 * jnp.pi))
-    probs = jnp.exp(log_prob)
-    order = jnp.argsort(-probs)
-    return np.asarray(samples[order]), np.asarray(probs[order])
+    """|N(loc, std)| samples sorted by descending density (mcts.py:64-70).
+
+    Host-side numpy: sampling 5 scalars on the accelerator would cost a
+    dispatch round-trip per expansion for zero compute.
+    """
+    raw = loc + std * rng.standard_normal(n)
+    samples = np.abs(raw).astype(np.float32)
+    probs = np.exp(-0.5 * ((raw - loc) / std) ** 2) \
+        / (std * np.sqrt(2 * np.pi))
+    order = np.argsort(-probs)
+    return samples[order], probs[order].astype(np.float32)
 
 
 def _index_state(state: CSMRIState, i: int) -> CSMRIState:
@@ -172,42 +175,49 @@ class MCTS:
 
         @jax.jit
         def seed_bufs(policy_x0, rtg0, task):
+            b = policy_x0.shape[0]
             return EvalBuffers(
-                states=jnp.zeros((1, maxt, s)).at[:, 0].set(policy_x0),
-                actions=jnp.zeros((1, maxt, cfg.action_dim)),
-                rtg=jnp.zeros((1, maxt, 1)).at[:, 0, 0].set(rtg0),
-                task=task.reshape(1).astype(jnp.int32))
+                states=jnp.zeros((b, maxt, s)).at[:, 0].set(policy_x0),
+                actions=jnp.zeros((b, maxt, cfg.action_dim)),
+                rtg=jnp.zeros((b, maxt, 1)).at[:, 0, 0].set(
+                    rtg0.reshape(b)),
+                task=task.reshape(b).astype(jnp.int32))
 
         @jax.jit
         def child_bufs(bufs, t, stepped_slot0, pred_rtg):
-            ob = stepped_slot0.x[..., 0].reshape(1, -1)
+            b = bufs.states.shape[0]
+            t = jnp.broadcast_to(jnp.asarray(t, jnp.int32).reshape(-1),
+                                 (b,))
+            rows = jnp.arange(b)
+            ob = stepped_slot0.x[..., 0].reshape(b, -1)
             return bufs.replace(
-                states=jax.lax.dynamic_update_slice_in_dim(
-                    bufs.states, ob[:, None], t, axis=1),
-                rtg=jax.lax.dynamic_update_slice_in_dim(
-                    bufs.rtg, jnp.reshape(pred_rtg, (1, 1, 1)), t, axis=1))
+                states=bufs.states.at[rows, t].set(ob),
+                rtg=bufs.rtg.at[rows, t, 0].set(
+                    jnp.reshape(pred_rtg, (b,))))
 
         self._seed_bufs = seed_bufs
         self._child_bufs = child_bufs
 
     # -- expansion (mcts.py:103-143) --------------------------------------
-    def expand(self, node: Node, task: int, key, index_tree: int
-               ) -> Tuple[Node, Dict[str, float], float]:
+    def expand(self, node: Node, task: int, rng: np.random.Generator,
+               index_tree: int) -> Tuple[Node, Dict[str, float], float]:
         action_vec, action_dict, pred_rtg, bufs_upd = self._policy_step(
             self.dt_params, node.bufs, node.time)
-        # Record the node's model action in its buffers (descendants see it,
-        # like the reference's build_action over expanded ancestors,
-        # mcts.py:53-59,107-108).
-        node.bufs = bufs_upd
+        # ``bufs_upd`` holds the node's model action at its slot: descendants
+        # inherit it (the reference's build_action over expanded ancestors,
+        # mcts.py:53-59,107-108), but ``node.bufs`` itself stays pre-action —
+        # the reference's rollout rebuilds from the PARENT chain only
+        # (mcts.py:202-205), so the node's own action must not be visible to
+        # the rollout's policy step when node.time < context_length.
         node.action = np.asarray(action_vec[0])
         adict = {k: float(v[0]) for k, v in jax.device_get(action_dict
                                                            ).items()}
 
-        k1, k2 = jax.random.split(key)
         sigma_d, probs = sample_actions(
-            k1, adict["sigma_d"], self.cfg.sigma_d_std, self.cfg.n_children)
+            rng, adict["sigma_d"], self.cfg.sigma_d_std,
+            self.cfg.n_children)
         mu, _ = sample_actions(
-            k2, adict["mu"], self.cfg.mu_std, self.cfg.n_children)
+            rng, adict["mu"], self.cfg.mu_std, self.cfg.n_children)
 
         # One batched env step: slot 0 = the model action (-> policy_state),
         # slots 1..n = the sampled children.
@@ -253,7 +263,8 @@ class MCTS:
     def run(self, record, seed: Optional[int] = None) -> float:
         (states0, rtg0, _, task0), mat = record
         task = int(np.asarray(task0).reshape(-1)[0])
-        key = jax.random.PRNGKey(self.cfg.seed if seed is None else seed)
+        rng = np.random.default_rng(
+            self.cfg.seed if seed is None else seed)
 
         env_state = reset_from_mat(mat)
         root = Node(time=0, prob=1.0, parent=None, edge=0, index=0,
@@ -275,8 +286,7 @@ class MCTS:
                 node = select_p_ucb(node, self.cfg.c_base, self.cfg.c)
                 node.s_visits += 1
 
-            key, sub = jax.random.split(key)
-            node, _, _ = self.expand(node, task, sub, i)
+            node, _, _ = self.expand(node, task, rng, i)
 
             rep = repr(node)
             if rep in program_rewards:
@@ -296,6 +306,156 @@ class MCTS:
         reward = float(psnr(jnp.asarray(gt), jnp.asarray(best_state))[0, 0])
         print("MCTS Reward: ", reward)
         return reward
+
+
+def _concat_pytrees(trees):
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *trees)
+
+
+def _index_pytree(tree, i: int):
+    return jax.tree.map(lambda x: x[i:i + 1], tree)
+
+
+class BatchedMCTS(MCTS):
+    """Tree search over a batch of images with lockstep device calls.
+
+    The reference (and :meth:`MCTS.run`) searches one image at a time
+    (main.py:236-240). Here N independent trees advance together: each
+    search iteration issues ONE batched policy step (per-tree times differ —
+    the policy windows are per-image gathers), ONE batched expansion env
+    step over all N*(children+1) slots, and ONE batched rollout with
+    per-tree start times — so DT/U-Net forwards, value scoring, and
+    host<->device round-trips amortize across images (the BASELINE.json
+    north-star restructuring).
+
+    Per-tree RNG streams match :meth:`MCTS.run` exactly, so a batched
+    search equals N sequential searches up to batching-induced float
+    reordering.
+    """
+
+    def run_batch(self, records, seeds=None) -> list:
+        n_trees = len(records)
+        if seeds is None:
+            seeds = [self.cfg.seed + i for i in range(n_trees)]
+        rngs = [np.random.default_rng(s) for s in seeds]
+
+        roots = []
+        rewards_dicts = []
+        states_dicts = []
+        tasks = []
+        for (states0, rtg0, _, task0), mat in records:
+            env_state = reset_from_mat(mat)
+            root = Node(time=0, prob=1.0, parent=None, edge=0, index=0,
+                        env_state=env_state, policy_state=env_state,
+                        policy_rtg=float(np.asarray(rtg0).reshape(-1)[0]))
+            root.bufs = self._seed_bufs(
+                jnp.asarray(states0).reshape(1, -1),
+                jnp.asarray(rtg0).reshape(1),
+                jnp.asarray(task0).reshape(-1)[:1])
+            root.s_visits = 1
+            roots.append(root)
+            rewards_dicts.append({})
+            states_dicts.append({})
+            tasks.append(int(np.asarray(task0).reshape(-1)[0]))
+
+        k = self.cfg.n_children
+        for i in range(self.cfg.iterations):
+            # SELECT (host, per tree).
+            leaves = []
+            for root in roots:
+                root.s_visits += 1
+                node = root
+                while node.children:
+                    node = select_p_ucb(node, self.cfg.c_base, self.cfg.c)
+                    node.s_visits += 1
+                leaves.append(node)
+
+            # EXPAND: one batched policy step at per-tree times.
+            t_vec = jnp.asarray([n.time for n in leaves], jnp.int32)
+            bufs_b = _concat_pytrees([n.bufs for n in leaves])
+            action_vec, action_dict, pred_rtg, bufs_upd = self._policy_step(
+                self.dt_params, bufs_b, t_vec)
+            host = jax.device_get((action_vec, action_dict, pred_rtg))
+            action_vec_h, adict_h, pred_rtg_h = host
+
+            # One batched env step over all trees' (children+1) slots.
+            batch_state = _concat_pytrees(
+                [_tile_state(n.env_state, k + 1) for n in leaves])
+            t_act = np.empty((n_trees, k + 1), np.float32)
+            sig_act = np.empty((n_trees, k + 1), np.float32)
+            mu_act = np.empty((n_trees, k + 1), np.float32)
+            probs_all = []
+            for j, node in enumerate(leaves):
+                sigma_d, probs = sample_actions(
+                    rngs[j], float(adict_h["sigma_d"][j]),
+                    self.cfg.sigma_d_std, k)
+                mu, _ = sample_actions(
+                    rngs[j], float(adict_h["mu"][j]), self.cfg.mu_std, k)
+                t_act[j] = adict_h["T"][j]
+                sig_act[j] = np.concatenate([[adict_h["sigma_d"][j]],
+                                             sigma_d])
+                mu_act[j] = np.concatenate([[adict_h["mu"][j]], mu])
+                probs_all.append(probs)
+            stepped = self._expand_step(batch_state, {
+                "T": t_act.reshape(-1), "sigma_d": sig_act.reshape(-1),
+                "mu": mu_act.reshape(-1)})
+
+            # Children: shared per-tree buffer snapshot at slot time+1.
+            slot0 = jax.tree.map(
+                lambda x: x.reshape((n_trees, k + 1) + x.shape[1:])[:, 0],
+                stepped)
+            child_bufs_b = self._child_bufs(
+                bufs_upd, t_vec + 1, slot0, pred_rtg)
+            for j, node in enumerate(leaves):
+                node.action = np.asarray(action_vec_h[j])
+                node.set_policy_state(_index_pytree(slot0, j))
+                shared = _index_pytree(child_bufs_b, j)
+                for c in range(k):
+                    child = Node(
+                        time=node.time + 1, prob=float(probs_all[j][c]),
+                        parent=node, edge=c, index=i,
+                        env_state=jax.tree.map(
+                            lambda x: x[j * (k + 1) + c + 1:
+                                        j * (k + 1) + c + 2], stepped),
+                        policy_state=node.policy_state,
+                        policy_rtg=float(pred_rtg_h[j]))
+                    child.bufs = shared
+                    node.children.append(child)
+
+            # ROLLOUT: one batched greedy rollout from per-tree depths.
+            _, ro_dict, _, ro_bufs = self._policy_step(
+                self.dt_params, _concat_pytrees([n.bufs for n in leaves]),
+                t_vec)
+            final, _, ep_len, _ = self._rollout(
+                self.dt_params,
+                _concat_pytrees([n.env_state for n in leaves]),
+                ro_bufs, ro_dict,
+                jnp.asarray([n.policy_rtg for n in leaves], jnp.float32),
+                t_vec)
+            finals = np.asarray(final.x[..., 0])
+
+            for j, node in enumerate(leaves):
+                rep = repr(node)
+                if rep in rewards_dicts[j]:
+                    reward = rewards_dicts[j][rep]
+                else:
+                    x = finals[j:j + 1].reshape(1, *finals.shape[-2:])
+                    reward = float(self.value_fn(x))
+                    rewards_dicts[j][rep] = reward
+                    states_dicts[j][rep] = x
+                node.backprop(reward)
+
+        out = []
+        for j, root in enumerate(roots):
+            best_key = max(rewards_dicts[j], key=rewards_dicts[j].get)
+            best_state = states_dicts[j][best_key]
+            gt = np.asarray(root.env_state.gt).reshape(
+                1, *best_state.shape[-2:])
+            reward = float(psnr(jnp.asarray(gt),
+                                jnp.asarray(best_state))[0, 0])
+            print("MCTS Reward: ", reward)
+            out.append(reward)
+        return out
 
 
 def run_mcts(mcts: MCTS, record, seed: Optional[int] = None) -> float:

@@ -174,7 +174,7 @@ def cmd_flex(args) -> None:
 def cmd_mcts(args) -> None:
     from dt4image_restoration_tpu.config import MCTSConfig, ModelConfig
     from dt4image_restoration_tpu.data.datasets import EvaluationDataset
-    from dt4image_restoration_tpu.inference.mcts import MCTS
+    from dt4image_restoration_tpu.inference.mcts import MCTS, BatchedMCTS
 
     rtg_target = float(args.rtg)  # validate before any model loading
 
@@ -195,18 +195,25 @@ def cmd_mcts(args) -> None:
               "proxy scorer", file=sys.stderr)
         value_fn = proxy_value_fn
 
-    mcts = MCTS(dt_apply=dt_apply, dt_params=dt_params, denoise=denoise,
-                model_cfg=cfg,
-                cfg=MCTSConfig(max_timesteps=args.max_timesteps or 30,
-                               seed=args.seed),
-                value_fn=value_fn)
+    cls = MCTS if args.sequential else BatchedMCTS
+    mcts = cls(dt_apply=dt_apply, dt_params=dt_params, denoise=denoise,
+               model_cfg=cfg,
+               cfg=MCTSConfig(max_timesteps=args.max_timesteps or 30,
+                              seed=args.seed),
+               value_fn=value_fn)
     dirs = args.data_dirs or EVAL_DIRS_9
     total = 0.0
     for path in (d for d in dirs if os.path.isdir(d)):
         ds = EvaluationDataset(path, rtg_target=rtg_target,
                                kind="optimal")
-        for i in range(len(ds)):
-            total += mcts.run(ds[i], seed=args.seed + i)
+        records = [ds[i] for i in range(len(ds))]
+        seeds = [args.seed + i for i in range(len(records))]
+        if args.sequential:
+            total += sum(mcts.run(r, seed=s)
+                         for r, s in zip(records, seeds))
+        else:
+            # All of a directory's trees advance in lockstep on device.
+            total += sum(mcts.run_batch(records, seeds=seeds))
     print("Total MCTS reward:", total)
 
 
@@ -250,6 +257,9 @@ def build_parser() -> argparse.ArgumentParser:
         if name == "mcts":
             s.add_argument("--seed", type=int, default=0)
             s.add_argument("--arniqa_ckpt", default=None)
+            s.add_argument("--sequential", action="store_true",
+                           help="search one image at a time instead of "
+                                "batching a directory's trees on device")
     return p
 
 

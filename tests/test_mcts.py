@@ -27,7 +27,7 @@ def stub_denoise(img, sigma):
 
 
 def test_sample_actions_sorted_by_density():
-    samples, probs = sample_actions(jax.random.PRNGKey(0), 0.3, 0.2, 5)
+    samples, probs = sample_actions(np.random.default_rng(0), 0.3, 0.2, 5)
     assert samples.shape == (5,) and probs.shape == (5,)
     assert (samples >= 0).all()  # |N(loc, std)|
     assert (np.diff(probs) <= 1e-7).all()  # descending density
@@ -83,7 +83,7 @@ def test_expand_creates_batched_children(mcts):
         jnp.asarray(states0), jnp.asarray(rtg0).reshape(()),
         jnp.asarray(task0))
     node, adict, pred_rtg = mcts.expand(root, task=2,
-                                        key=jax.random.PRNGKey(1),
+                                        rng=np.random.default_rng(1),
                                         index_tree=0)
     assert len(node.children) == 5
     assert node.action is not None and node.action.shape == (3,)
@@ -110,3 +110,29 @@ def test_mcts_deterministic_given_seed(mcts):
     r1 = mcts.run(_record(seed=1), seed=7)
     r2 = mcts.run(_record(seed=1), seed=7)
     assert r1 == r2
+
+
+def test_batched_mcts_equivalence(mcts):
+    """Lockstep-tree invariants:
+    * a batch of one reproduces the sequential search bit-for-bit;
+    * identical records with identical seeds inside one batch produce
+      identical trees (no cross-tree contamination).
+    (Trees in a *mixed* batch may legally diverge from their sequential
+    runs: batching reorders conv reductions at the epsilon level and the
+    discrete PUCB branching can flip — same sensitivity class as the
+    reference's nondeterministic sampling.)"""
+    from dt4image_restoration_tpu.inference.mcts import BatchedMCTS
+    batched = BatchedMCTS(
+        dt_apply=mcts.dt_apply, dt_params=mcts.dt_params,
+        denoise=mcts.denoise, model_cfg=mcts.model_cfg, cfg=mcts.cfg,
+        value_fn=mcts.value_fn)
+
+    r = _record(seed=2)
+    seq = mcts.run(r, seed=11)
+    assert batched.run_batch([r], seeds=[11]) == [seq]
+
+    twins = batched.run_batch([r, r], seeds=[11, 11])
+    assert twins[0] == twins[1]
+
+    mixed = batched.run_batch([_record(seed=1), r], seeds=[10, 11])
+    assert all(np.isfinite(v) and 0 < v < 60 for v in mixed)
