@@ -53,6 +53,32 @@ def maybe_initialize_distributed() -> None:
         process_id=int(os.environ["JAX_PROCESS_ID"]))
 
 
+def background_batches(iterator, size: int = 2):
+    """Run a host batch iterator (file reads, window crops) on a background
+    thread with a bounded queue, so input assembly overlaps device compute —
+    the upgrade over the reference's num_workers=0 DataLoader
+    (main.py:33,55-69)."""
+    import queue as queue_mod
+    import threading
+
+    q: "queue_mod.Queue" = queue_mod.Queue(maxsize=size)
+    _END = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        finally:
+            q.put(_END)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        yield item
+
+
 def prefetch_to_device(iterator, mesh: Mesh, size: int = 2):
     """Host->device double-buffered prefetch of batch dicts: the next
     batch's H2D transfer overlaps the current step's compute (the TPU

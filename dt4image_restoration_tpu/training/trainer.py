@@ -142,14 +142,20 @@ class Trainer:
                 self.resume_from, like=jax.device_get(self.state))
             logger.info("resumed from %s at step %d", self.resume_from,
                         int(self.state.step))
+        from dt4image_restoration_tpu.training.sharding import (
+            background_batches)
+        from dt4image_restoration_tpu.utils.profiling import StepTimer
+
         rng = jax.random.PRNGKey(self.config.seed)
         losses = []
+        self.step_timer = StepTimer()
         for epoch in range(self.config.max_epochs):
             t0 = time.time()
-            for batch in self.batches(epoch):
+            for batch in background_batches(self.batches(epoch)):
                 rng, step_rng = jax.random.split(rng)
-                self.state, loss = self.train_step(
-                    self.state, self.shard(batch), step_rng)
+                with self.step_timer:
+                    self.state, loss = self.train_step(
+                        self.state, self.shard(batch), step_rng)
                 losses.append(loss)
                 if self._wandb:
                     self._wandb.log({"loss": float(loss)})
@@ -172,4 +178,5 @@ class Trainer:
         if self._wandb:
             self._wandb.finish()
         self.last_losses = [float(l) for l in losses[-10:]]
+        logger.info("step timing: %s", self.step_timer.summary())
         return self.state

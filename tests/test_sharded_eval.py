@@ -82,3 +82,10 @@ def test_prefetch_to_device(rng):
 def test_maybe_initialize_distributed_noop(monkeypatch):
     monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
     maybe_initialize_distributed()  # must be a no-op without env
+
+
+def test_background_batches_preserves_order_and_items():
+    from dt4image_restoration_tpu.training.sharding import background_batches
+    items = list(range(20))
+    out = list(background_batches(iter(items), size=3))
+    assert out == items
