@@ -1,0 +1,155 @@
+"""End-to-end cross-framework parity: the complete greedy evaluation
+pipeline (DT policy + U-Net prior + ADMM env over a full episode) executed
+(a) entirely in torch, restating the reference's eval semantics
+    (eval.py:62-220 + env.py:74-100 + noise.py + decision_transformer.py),
+(b) with our converted-weights fused JAX scan,
+must agree on the recovered image and episode length — the SURVEY §4
+checkpoint-conversion parity requirement, on random (He-scaled) weights.
+"""
+import numpy as np
+import torch
+import jax.numpy as jnp
+import pytest
+
+from tests.test_dt import make_dt_state_dict, torch_dt_forward
+from dt4image_restoration_tpu.config import ModelConfig
+from dt4image_restoration_tpu.data import make_mat_record
+from dt4image_restoration_tpu.env import reset_from_mat
+from dt4image_restoration_tpu.inference import (
+    greedy_rollout, initial_policy_setup)
+from dt4image_restoration_tpu.models import DecisionTransformer, UNetDenoiser
+from dt4image_restoration_tpu.utils.checkpoint import (
+    convert_dt_state_dict, convert_unet_state_dict)
+from dt4image_restoration_tpu.utils.torch_reference import (
+    random_unet_state_dict, torch_denoise)
+
+MAXT = 10
+CTX = 6
+
+
+def torch_eval_episode(dt_sd, unet_sd, mat, rtg0, task_id,
+                       max_timesteps=MAXT):
+    """The reference's full greedy evaluation for one image, in torch."""
+    x0 = torch.view_as_complex(
+        torch.from_numpy(np.asarray(mat["x0"], np.float32))).reshape(
+        1, 1, 128, 128)
+    y0 = torch.view_as_complex(
+        torch.from_numpy(np.asarray(mat["y0"], np.float32))).reshape(
+        1, 1, 128, 128)
+    mask = torch.from_numpy(np.asarray(mat["mask"])).reshape(
+        1, 1, 128, 128).bool()
+    x, z, u = x0.clone(), x0.clone(), torch.zeros_like(x0)
+
+    def fft2c(t):
+        t = torch.fft.ifftshift(t, dim=(-2, -1))
+        t = torch.fft.fftn(t, dim=(-2, -1), norm="ortho")
+        return torch.fft.fftshift(t, dim=(-2, -1))
+
+    def ifft2c(t):
+        t = torch.fft.ifftshift(t, dim=(-2, -1))
+        t = torch.fft.ifftn(t, dim=(-2, -1), norm="ortho")
+        return torch.fft.fftshift(t, dim=(-2, -1))
+
+    def env_step(x, z, u, action):
+        if float(action["T"]) > 0.5:
+            return x, z, u, True
+        xn = torch_denoise(unet_sd, (z - u).real,
+                           float(action["sigma_d"])).to(torch.complex64)
+        zn = fft2c(xn + u)
+        mu = float(action["mu"])
+        temp = (mu * zn + y0) / (1 + mu)
+        zn = torch.where(mask, temp, zn)
+        zn = ifft2c(zn)
+        un = u + xn - zn
+        return xn, zn, un, False
+
+    # Policy buffers (eval.py:62-100).
+    states = torch.zeros(1, max_timesteps, 128 * 128)
+    actions = torch.zeros(1, max_timesteps, 3)
+    rtg = torch.zeros(1, max_timesteps, 1)
+    states[0, 0] = torch.from_numpy(
+        np.clip(np.asarray(mat["x0"], np.float32), 0, None)[..., 0]
+    ).reshape(-1)
+    rtg[0, 0] = rtg0
+    task = torch.full((1, CTX), task_id, dtype=torch.long)
+    ts = torch.arange(CTX).reshape(1, CTX, 1)
+
+    with torch.no_grad():
+        pred_actions, _ = torch_dt_forward(
+            dt_sd, rtg[:, :CTX], states[:, :CTX], ts, task, None, "norm")
+        actions[0, 0] = pred_actions[0, 0]
+        action = {"T": pred_actions[0, 0, 0],
+                  "sigma_d": pred_actions[0, 0, 1],
+                  "mu": pred_actions[0, 0, 2]}
+        _, pred_rtg_all = torch_dt_forward(
+            dt_sd, torch.zeros(1, CTX, 1), states[:, :CTX], ts, task,
+            torch.zeros(1, CTX, 3), "norm")
+        pred_rtg = pred_rtg_all[0, 0, 0]
+
+        for t in range(1, max_timesteps + 1):
+            x, z, u, done = env_step(x, z, u, action)
+            if t == max_timesteps or done:
+                return x.real.numpy(), t
+
+            states[0, t] = x.real.reshape(-1)
+            rtg[0, t] = pred_rtg
+
+            lo = 0 if t < CTX else t - CTX
+            hi = CTX if t < CTX else t
+            w_ts = torch.arange(lo, hi).reshape(1, CTX, 1)
+            pa, _ = torch_dt_forward(
+                dt_sd, rtg[:, lo:hi], states[:, lo:hi], w_ts, task,
+                actions[:, lo:hi], "norm")
+            idx = t if t < CTX else CTX - 1
+            actions[0, t] = pa[0, idx]
+            action = {"T": pa[0, idx, 0], "sigma_d": pa[0, idx, 1],
+                      "mu": pa[0, idx, 2]}
+            _, pr = torch_dt_forward(
+                dt_sd, rtg[:, lo:hi], states[:, lo:hi], w_ts, task,
+                actions[:, lo:hi], "norm")
+            rtg_idx = t if t < CTX else CTX - 2
+            pred_rtg = pr[0, rtg_idx, 0]
+
+
+@pytest.mark.parametrize("image_seed", [0, 4])
+def test_full_pipeline_cross_framework_parity(image_seed):
+    gen = torch.Generator().manual_seed(0)
+    dt_sd = make_dt_state_dict(gen)
+    # Bias the stop logit low so episodes run full length — the sliding
+    # window and the t >= ctx index switch must be exercised cross-framework.
+    dt_sd["predict_action.0.bias"][0] -= 4.0
+    unet_sd = random_unet_state_dict(seed=0)
+    mat = make_mat_record(seed=image_seed)
+    rtg0, task_id = 0.62, 3
+
+    mat = dict(mat)
+    mat["x0"] = np.clip(mat["x0"], 0, None)  # dataset clips the record
+    ref_x, ref_len = torch_eval_episode(dt_sd, unet_sd, mat, rtg0, task_id)
+
+    cfg = ModelConfig(block_size=18, n_embeds=9, mode="norm")
+    dt_params = convert_dt_state_dict(dt_sd)
+    unet_params = convert_unet_state_dict(unet_sd)
+    den_model = UNetDenoiser()
+
+    def dt_apply(params, rtg, s, ts, task, actions):
+        return DecisionTransformer(cfg).apply(
+            {"params": params}, rtg, s, ts, task, actions)
+
+    def denoise(img, sig):
+        return den_model.apply({"params": unet_params}, img, sig)
+
+    policy_x0 = jnp.asarray(
+        mat["x0"][..., 0].reshape(1, -1).astype(np.float32))
+    env_state = reset_from_mat(mat)
+
+    bufs, _, action_dict, pred_rtg = initial_policy_setup(
+        dt_apply, cfg, dt_params, policy_x0,
+        jnp.full((1,), rtg0), jnp.asarray([task_id]), MAXT)
+    final, reward, ep_len, _ = greedy_rollout(
+        dt_apply, denoise, cfg, dt_params, env_state, bufs, action_dict,
+        pred_rtg, MAXT)
+
+    assert ref_len == MAXT  # full-length episode (stop logit biased low)
+    assert int(ep_len[0]) == ref_len
+    np.testing.assert_allclose(
+        np.asarray(final.x[..., 0]), ref_x, rtol=1e-3, atol=2e-4)
