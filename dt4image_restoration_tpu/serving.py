@@ -1,0 +1,174 @@
+"""Production serving: batched restoration service over the fused programs.
+
+The reference is batch-size-1 scripts; for deployment the unit of work is a
+stream of slices. ``RestorationService`` aggregates concurrent requests into
+fixed-shape device batches (one compiled XLA program per shape — no
+recompiles in steady state), pads partial batches, and resolves each
+request with its restored image and metrics.
+
+Two modes:
+  * ``policy``  — DT-guided greedy restoration (the eval path)
+  * ``fixed``   — fixed-(mu, sigma_d) PnP-ADMM (no policy; config-1 path)
+"""
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from concurrent.futures import Future
+from typing import Any, Callable, Dict, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dt4image_restoration_tpu.config import ModelConfig
+from dt4image_restoration_tpu.env.pnp import (
+    compute_reward, fixed_param_rollout, reset_from_mat)
+from dt4image_restoration_tpu.inference.evaluator import (
+    greedy_rollout, initial_policy_setup)
+
+
+@dataclasses.dataclass
+class RestorationRequest:
+    """One slice to restore: the .mat-style record (x0/y0/mask[/gt]) plus
+    the RTG target and task token for policy mode."""
+    mat: Mapping[str, Any]
+    rtg: float = 0.0
+    task: int = 0
+
+
+@dataclasses.dataclass
+class RestorationResult:
+    image: np.ndarray          # (H, W) restored slice
+    psnr_db: Optional[float]   # vs gt if the record carried one
+    episode_len: int
+
+
+class RestorationService:
+    """Fixed-batch-shape restoration server.
+
+    Args:
+      denoise: (B, H, W, 1), (B,) -> (B, H, W, 1) U-Net apply.
+      cfg / dt_apply / dt_params: policy-mode configuration (optional for
+        fixed mode).
+      batch_size: compiled batch shape; partial batches are padded.
+      max_delay_s: how long the dispatcher waits to fill a batch before
+        flushing a partial one.
+    """
+
+    def __init__(self, denoise: Callable, cfg: Optional[ModelConfig] = None,
+                 dt_apply: Optional[Callable] = None, dt_params: Any = None,
+                 mode: str = "policy", batch_size: int = 8,
+                 max_timesteps: int = 30, mu: float = 0.5,
+                 sigma_d: float = 15.0 / 255.0,
+                 max_delay_s: float = 0.01) -> None:
+        if mode == "policy" and (cfg is None or dt_apply is None):
+            raise ValueError("policy mode needs cfg + dt_apply + dt_params")
+        self.mode = mode
+        self.batch_size = batch_size
+        self.max_timesteps = max_timesteps
+        self.max_delay_s = max_delay_s
+        self._queue: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+
+        if mode == "policy":
+            def run(params, policy_x0, rtg0, task, env_state):
+                bufs, _, action_dict, pred_rtg = initial_policy_setup(
+                    dt_apply, cfg, params, policy_x0, rtg0, task,
+                    max_timesteps)
+                final, reward, ep_len, _ = greedy_rollout(
+                    dt_apply, denoise, cfg, params, env_state, bufs,
+                    action_dict, pred_rtg, max_timesteps)
+                return final.x[..., 0], reward, ep_len
+
+            self._program = jax.jit(run)
+            self._dt_params = dt_params
+        else:
+            def run_fixed(env_state):
+                final, _ = fixed_param_rollout(
+                    denoise, env_state, mu, sigma_d, max_timesteps)
+                ep = jnp.full((env_state.batch,), max_timesteps, jnp.int32)
+                return final.x[..., 0], compute_reward(final), ep
+
+            self._program = jax.jit(run_fixed)
+
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+
+    # -- public API --------------------------------------------------------
+    def submit(self, request: RestorationRequest) -> "Future":
+        """Enqueue one slice; returns a Future[RestorationResult]."""
+        fut: Future = Future()
+        self._queue.put((request, fut))
+        return fut
+
+    def restore(self, requests) -> list:
+        """Blocking convenience: restore a list of requests."""
+        futs = [self.submit(r) for r in requests]
+        return [f.result() for f in futs]
+
+    def close(self) -> None:
+        self._stop.set()
+        self._worker.join(timeout=5)
+
+    # -- dispatcher ---------------------------------------------------------
+    def _collect(self):
+        items = []
+        try:
+            items.append(self._queue.get(timeout=0.05))
+        except queue.Empty:
+            return items
+        while len(items) < self.batch_size:
+            try:
+                items.append(self._queue.get(timeout=self.max_delay_s))
+            except queue.Empty:
+                break
+        return items
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            items = self._collect()
+            if not items:
+                continue
+            try:
+                results = self._run_batch([req for req, _ in items])
+                for (_, fut), res in zip(items, results):
+                    fut.set_result(res)
+            except Exception as exc:  # pragma: no cover - defensive
+                for _, fut in items:
+                    if not fut.done():
+                        fut.set_exception(exc)
+
+    def _run_batch(self, requests) -> list:
+        n = len(requests)
+        pad = self.batch_size - n
+        padded = list(requests) + [requests[-1]] * pad
+
+        mats = {k: np.concatenate(
+            [np.asarray(r.mat[k]) for r in padded])
+            for k in ("x0", "y0", "mask", "gt")}
+        # The reference's eval dataset clips x0 at 0 before the env consumes
+        # it (datasets.py:160,199); keep serving consistent with that path.
+        mats["x0"] = np.clip(mats["x0"], 0, None)
+        has_gt = all("gt" in r.mat for r in requests)
+        env_state = reset_from_mat(mats)
+
+        if self.mode == "policy":
+            policy_x0 = jnp.asarray(np.stack(
+                [np.clip(np.asarray(r.mat["x0"], np.float32), 0, None)
+                 [..., 0].reshape(-1) for r in padded]))
+            rtg0 = jnp.asarray([r.rtg for r in padded], jnp.float32)
+            task = jnp.asarray([r.task for r in padded], jnp.int32)
+            images, reward, ep_len = self._program(
+                self._dt_params, policy_x0, rtg0, task, env_state)
+        else:
+            images, reward, ep_len = self._program(env_state)
+
+        images = np.asarray(images)[:n, 0]
+        reward = np.asarray(reward)[:n, 0]
+        ep_len = np.asarray(ep_len)[:n]
+        return [RestorationResult(
+            image=np.clip(images[i], 0.0, 1.0),
+            psnr_db=float(reward[i]) if has_gt else None,
+            episode_len=int(ep_len[i])) for i in range(n)]

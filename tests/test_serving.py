@@ -1,0 +1,104 @@
+"""Serving tests: batch aggregation, padding, concurrency, and agreement
+with the direct evaluation path."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dt4image_restoration_tpu.config import ModelConfig
+from dt4image_restoration_tpu.data import make_mat_record
+from dt4image_restoration_tpu.inference import Evaluator
+from dt4image_restoration_tpu.models import DecisionTransformer
+from dt4image_restoration_tpu.models.decision_transformer import init_dt_params
+from dt4image_restoration_tpu.serving import (
+    RestorationRequest, RestorationService)
+
+CFG = ModelConfig(block_size=18, n_embeds=9, mode="norm")
+MAXT = 8
+
+
+def dt_apply(params, rtg, states, timesteps, task, actions):
+    return DecisionTransformer(CFG).apply(
+        {"params": params}, rtg, states, timesteps, task, actions)
+
+
+def stub_denoise(img, sigma):
+    return jnp.clip(0.8 * img + 0.1, 0.0, 1.0)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_dt_params(CFG, seed=0)
+
+
+def _requests(n):
+    return [RestorationRequest(mat=make_mat_record(seed=i), rtg=0.6, task=2)
+            for i in range(n)]
+
+
+def test_fixed_mode_service():
+    svc = RestorationService(denoise=lambda img, sig: jnp.clip(img, 0, 1),
+                             mode="fixed", batch_size=4, max_timesteps=10)
+    try:
+        results = svc.restore(_requests(3))  # partial batch -> padding
+    finally:
+        svc.close()
+    assert len(results) == 3
+    for r in results:
+        assert r.image.shape == (128, 128)
+        assert r.episode_len == 10
+        assert r.psnr_db is not None and np.isfinite(r.psnr_db)
+
+
+def test_policy_mode_matches_direct_evaluator(params):
+    svc = RestorationService(denoise=stub_denoise, cfg=CFG,
+                             dt_apply=dt_apply, dt_params=params,
+                             mode="policy", batch_size=4,
+                             max_timesteps=MAXT)
+    reqs = _requests(4)
+    try:
+        results = svc.restore(reqs)
+    finally:
+        svc.close()
+
+    # Direct path over the same records.
+    records = []
+    for r in reqs:
+        mat = dict(r.mat)
+        mat["x0"] = np.clip(mat["x0"], 0, None)
+        states = mat["x0"][..., 0].reshape(1, -1).astype(np.float32)
+        records.append(((states, np.full((1, 1), 0.6, np.float32),
+                         np.zeros(3, np.float32),
+                         np.asarray([2], np.int32)), mat))
+    ev = Evaluator(dt_apply=dt_apply, dt_params=params,
+                   denoise=stub_denoise, cfg=CFG, max_timesteps=MAXT)
+    direct = ev.evaluate_records(records)
+
+    np.testing.assert_allclose(
+        [r.psnr_db for r in results], direct["reward"], rtol=1e-4)
+    np.testing.assert_array_equal(
+        [r.episode_len for r in results], direct["episode_len"])
+
+
+def test_concurrent_submissions(params):
+    import threading
+    svc = RestorationService(denoise=stub_denoise, cfg=CFG,
+                             dt_apply=dt_apply, dt_params=params,
+                             mode="policy", batch_size=4,
+                             max_timesteps=MAXT, max_delay_s=0.2)
+    outs = {}
+
+    def client(i):
+        fut = svc.submit(RestorationRequest(
+            mat=make_mat_record(seed=i), rtg=0.6, task=2))
+        outs[i] = fut.result(timeout=300)
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(6)]
+    try:
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+    finally:
+        svc.close()
+    assert len(outs) == 6
+    assert all(np.isfinite(v.psnr_db) for v in outs.values())
