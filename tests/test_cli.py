@@ -96,3 +96,18 @@ def test_cli_train_smoke(train_fixture, tmp_path, capsys, monkeypatch):
     out = capsys.readouterr().out
     assert "Training complete" in out
     assert os.path.isdir(tmp_path / "ckpts" / "model_0")
+    return str(tmp_path / "ckpts" / "model_0")
+
+
+def test_cli_train_then_eval_orbax_roundtrip(train_fixture, eval_dir,
+                                             tmp_path, capsys, monkeypatch):
+    """Close the loop: a trained orbax checkpoint loads straight into eval
+    (the reference's torch .pt round-trip equivalent)."""
+    ckpt = test_cli_train_smoke(train_fixture, tmp_path, capsys, monkeypatch)
+    cli.main(["--block_size", "18", "--n_embeds", "9", "eval",
+              "--rtg", "10", "--max_timesteps", "8",
+              "--checkpoint", ckpt,
+              "--denoiser_ckpt", "/nonexistent.pt",
+              "--data_dirs", eval_dir])
+    out = capsys.readouterr().out
+    assert "Average reward" in out
