@@ -265,6 +265,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    from dt4image_restoration_tpu.training.sharding import (
+        maybe_initialize_distributed)
+    maybe_initialize_distributed()
     {"train": cmd_train, "eval": cmd_eval, "flex": cmd_flex,
      "mcts": cmd_mcts}[args.mode](args)
 
