@@ -8,7 +8,7 @@ decision_transformer.py:279-291`) and its mutated global ``train_dict``
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 # Task vocabularies + RTG min-max normalisation ranges for the two published
 # experiments (reference: /root/reference/main.py:90-101,

@@ -61,22 +61,9 @@ class Node:
         self.s_visits = 0
         self.action: Optional[np.ndarray] = None  # set when expanded
         self.bufs = None  # device-resident EvalBuffers snapshot
-        self._policy_ob: Optional[np.ndarray] = None  # host cache
-
-    @property
-    def policy_ob(self) -> np.ndarray:
-        """Flattened real policy observation, fetched from device once and
-        cached on the host (buffer rebuilds walk the ancestry every
-        expansion/rollout, mcts.py:40-51 — refetching per walk would pay a
-        device round-trip per ancestor)."""
-        if self._policy_ob is None:
-            self._policy_ob = np.asarray(
-                self.policy_state.x[..., 0]).reshape(-1)
-        return self._policy_ob
 
     def set_policy_state(self, state: CSMRIState) -> None:
         self.policy_state = state
-        self._policy_ob = None
 
     def __repr__(self) -> str:
         return f"Node(time = {self.time}, edge = {self.edge})_{self.index}"

@@ -19,7 +19,7 @@ This module provides:
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Mapping, Optional, Sequence
+from typing import Any, Callable, Dict, Mapping, Sequence
 
 import flax.linen as nn
 import jax

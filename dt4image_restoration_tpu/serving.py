@@ -16,7 +16,7 @@ import dataclasses
 import queue
 import threading
 from concurrent.futures import Future
-from typing import Any, Callable, Dict, Mapping, Optional
+from typing import Any, Callable, Mapping, Optional
 
 import jax
 import jax.numpy as jnp

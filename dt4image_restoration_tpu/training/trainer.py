@@ -30,7 +30,7 @@ import numpy as np
 import optax
 from flax import struct
 
-from dt4image_restoration_tpu.config import ModelConfig, TrainerConfig
+from dt4image_restoration_tpu.config import TrainerConfig
 
 logger = logging.getLogger(__name__)
 

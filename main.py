@@ -23,8 +23,6 @@ import logging
 import os
 import sys
 
-import numpy as np
-
 logging.basicConfig(filename="outputs.log", level=logging.DEBUG,
                     format="%(asctime)s - %(name)s - %(levelname)s - "
                            "%(message)s")
