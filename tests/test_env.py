@@ -50,12 +50,12 @@ def test_admm_step_matches_reference_algebra(rng):
         jnp.moveaxis(state.z[..., 0] - state.u[..., 0], 1, -1),
         jnp.asarray([0.1]))
     den_t = torch.from_numpy(
-        np.asarray(jnp.moveaxis(den, -1, 1))).to(torch.complex64)
+        np.array(jnp.moveaxis(den, -1, 1))).to(torch.complex64)
     xt, zt, ut = torch_reference_step(
         torch.from_numpy(_ri_to_c(state.x)),
         torch.from_numpy(_ri_to_c(state.z)),
         torch.from_numpy(_ri_to_c(state.u)),
-        torch.from_numpy(np.asarray(state.mask)),
+        torch.from_numpy(np.array(state.mask)),
         torch.from_numpy(_ri_to_c(state.y0)),
         torch.tensor(0.3), den_t)
 
