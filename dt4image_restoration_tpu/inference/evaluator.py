@@ -39,14 +39,24 @@ from dt4image_restoration_tpu.env.pnp import (
 
 class EvalBuffers(struct.PyTreeNode):
     """Fixed-size rolling policy buffers (one per image in the batch),
-    mirroring eval.py:62-70."""
+    mirroring eval.py:62-70.
+
+    ``state_embs`` optionally caches the state-encoder output per slot:
+    each observation is conv-encoded ONCE when it lands in the buffer
+    instead of 12x per step (2 forwards x ctx window) — the dominant DT
+    cost in autoregressive evaluation. Unfilled slots hold the encoding of
+    the zero image, matching what the uncached path computes for padded
+    window positions.
+    """
     states: jnp.ndarray   # (B, maxT, H*W)
     actions: jnp.ndarray  # (B, maxT, action_dim)
     rtg: jnp.ndarray      # (B, maxT, 1)
     task: jnp.ndarray     # (B,) int32
+    state_embs: Optional[jnp.ndarray] = None  # (B, maxT, E) or None
 
 
-def make_policy_step(dt_apply: Callable, cfg: ModelConfig):
+def make_policy_step(dt_apply: Callable, cfg: ModelConfig,
+                     dt_embed_apply: Optional[Callable] = None):
     """Build ``policy_step(params, bufs, t)``: the two DT forwards of
     ``predict_action_and_rtg`` (eval.py:146-186) on a ctx-length window.
 
@@ -68,8 +78,18 @@ def make_policy_step(dt_apply: Callable, cfg: ModelConfig):
         def window(buf):
             return jnp.take_along_axis(buf, timesteps[:, :, None], axis=1)
 
-        out = dt_apply(params, window(bufs.rtg), window(bufs.states),
-                       timesteps, task, window(bufs.actions))
+        if bufs.state_embs is not None and dt_embed_apply is not None:
+            def forward(actions_buf):
+                return dt_embed_apply(
+                    params, window(bufs.rtg), window(bufs.state_embs),
+                    timesteps, task, window(actions_buf))
+        else:
+            def forward(actions_buf):
+                return dt_apply(
+                    params, window(bufs.rtg), window(bufs.states),
+                    timesteps, task, window(actions_buf))
+
+        out = forward(bufs.actions)
         read_idx = jnp.minimum(t, ctx - 1)
         action_vec = jnp.take_along_axis(
             out.pred_actions, read_idx[:, None, None], axis=1)[:, 0]
@@ -81,8 +101,7 @@ def make_policy_step(dt_apply: Callable, cfg: ModelConfig):
         actions = bufs.actions.at[jnp.arange(b), t].set(action_vec)
         bufs = bufs.replace(actions=actions)
 
-        out2 = dt_apply(params, window(bufs.rtg), window(bufs.states),
-                        timesteps, task, window(bufs.actions))
+        out2 = forward(bufs.actions)
         rtg_idx = jnp.where(t < ctx, jnp.minimum(t, ctx - 1), ctx - 2)
         pred_rtg = jnp.take_along_axis(
             out2.pred_rtg, rtg_idx[:, None, None], axis=1)[:, 0, 0]
@@ -93,7 +112,8 @@ def make_policy_step(dt_apply: Callable, cfg: ModelConfig):
 
 def initial_policy_setup(dt_apply: Callable, cfg: ModelConfig, params,
                          policy_x0: jnp.ndarray, rtg0: jnp.ndarray,
-                         task: jnp.ndarray, max_timesteps: int
+                         task: jnp.ndarray, max_timesteps: int,
+                         encode: Optional[Callable] = None
                          ) -> Tuple[EvalBuffers, jnp.ndarray,
                                     Dict[str, jnp.ndarray], jnp.ndarray]:
     """Seed the buffers and produce the first action + first RTG prediction
@@ -103,6 +123,10 @@ def initial_policy_setup(dt_apply: Callable, cfg: ModelConfig, params,
     RTG prediction from a three-token forward whose RTG and action streams
     are all zeros (the reference's accidental-broadcast behavior,
     eval.py:89-95).
+
+    With ``encode`` (``(params, (B, S)) -> (B, E)``), the buffers carry the
+    state-embedding cache: unfilled slots hold the zero-image encoding so
+    windows match the uncached forward exactly.
     """
     b, s = policy_x0.shape
     ctx = cfg.context_length
@@ -110,12 +134,21 @@ def initial_policy_setup(dt_apply: Callable, cfg: ModelConfig, params,
         raise ValueError(
             f"max_timesteps ({max_timesteps}) must be >= the context "
             f"length ({ctx}); the policy windows are ctx-sized")
+
+    state_embs = None
+    if encode is not None:
+        zero_emb = encode(params, jnp.zeros((1, s)))[0]
+        state_embs = jnp.broadcast_to(
+            zero_emb, (b, max_timesteps, zero_emb.shape[-1])
+        ).at[:, 0].set(encode(params, policy_x0))
+
     bufs = EvalBuffers(
         states=jnp.zeros((b, max_timesteps, s)).at[:, 0].set(policy_x0),
         actions=jnp.zeros((b, max_timesteps, cfg.action_dim)),
         rtg=jnp.zeros((b, max_timesteps, 1)).at[:, 0].set(
             rtg0.reshape(b, 1)),
-        task=task.reshape(b).astype(jnp.int32))
+        task=task.reshape(b).astype(jnp.int32),
+        state_embs=state_embs)
 
     timesteps = jnp.broadcast_to(
         jnp.arange(ctx, dtype=jnp.int32)[None, :], (b, ctx))
@@ -137,7 +170,9 @@ def greedy_rollout(dt_apply: Callable, denoise: Callable, cfg: ModelConfig,
                    params, env_state: CSMRIState, bufs: EvalBuffers,
                    action_dict: Dict[str, jnp.ndarray],
                    pred_rtg: jnp.ndarray, max_timesteps: int,
-                   start_time: Any = 1
+                   start_time: Any = 1,
+                   encode: Optional[Callable] = None,
+                   dt_embed_apply: Optional[Callable] = None
                    ) -> Tuple[CSMRIState, jnp.ndarray, jnp.ndarray,
                               EvalBuffers]:
     """The greedy env/policy loop (eval.py:189-220) as one ``lax.scan``.
@@ -151,7 +186,8 @@ def greedy_rollout(dt_apply: Callable, denoise: Callable, cfg: ModelConfig,
     spans [0, max_timesteps] and iterations before ``start_time`` are
     masked no-ops per image, keeping one compiled program for every depth.
     """
-    policy_step = make_policy_step(dt_apply, cfg)
+    policy_step = make_policy_step(dt_apply, cfg, dt_embed_apply)
+    cached = bufs.state_embs is not None and encode is not None
     n_img = env_state.batch
     start_time = jnp.broadcast_to(
         jnp.asarray(start_time, jnp.int32).reshape(-1), (n_img,))
@@ -186,6 +222,16 @@ def greedy_rollout(dt_apply: Callable, denoise: Callable, cfg: ModelConfig,
                 bufs.rtg,
                 jnp.where(live[:, None], pred_rtg[:, None], old_r)[:, None],
                 t, axis=1))
+        if cached:
+            # Encode the single new observation once (vs 12 window encodes
+            # per step without the cache).
+            emb = encode(params, ob)
+            old_e = jnp.take(bufs.state_embs, t, axis=1)
+            bufs = bufs.replace(
+                state_embs=jax.lax.dynamic_update_slice_in_dim(
+                    bufs.state_embs,
+                    jnp.where(live[:, None], emb, old_e)[:, None], t,
+                    axis=1))
 
         old_actions = bufs.actions
         _, new_dict, new_rtg, bufs = policy_step(params, bufs, t)
@@ -222,6 +268,7 @@ class Evaluator:
     eval_type: str = "norm"
     report_every: int = 7
     mesh: Optional[Any] = None  # jax.sharding.Mesh: shard images over 'data'
+    cached_encoder: bool = True  # cache state-encoder outputs in the buffers
 
     # Process-wide compiled-program cache: evaluators over the same model,
     # denoiser, config, and horizon share one XLA program (flex mode builds
@@ -231,19 +278,27 @@ class Evaluator:
     def __post_init__(self):
         cfg = self.cfg
         key = (id(self.dt_apply), id(self.denoise), cfg,
-               self.max_timesteps)
+               self.max_timesteps, self.cached_encoder)
         cached = Evaluator._GLOBAL_PROGRAMS.get(key)
         if cached is not None:
             self._run_batch = cached
             return
 
+        encode = dt_embed_apply = None
+        if self.cached_encoder:
+            from dt4image_restoration_tpu.models.decision_transformer import (
+                make_dt_embed_apply, make_state_encode)
+            encode = make_state_encode(cfg)
+            dt_embed_apply = make_dt_embed_apply(cfg)
+
         def run(params, policy_x0, rtg0, task, env_state):
             bufs, _, action_dict, pred_rtg = initial_policy_setup(
                 self.dt_apply, cfg, params, policy_x0, rtg0, task,
-                self.max_timesteps)
+                self.max_timesteps, encode=encode)
             final, reward, ep_len, _ = greedy_rollout(
                 self.dt_apply, self.denoise, cfg, params, env_state, bufs,
-                action_dict, pred_rtg, self.max_timesteps)
+                action_dict, pred_rtg, self.max_timesteps,
+                encode=encode, dt_embed_apply=dt_embed_apply)
             return final, reward, ep_len
 
         self._run_batch = jax.jit(run)

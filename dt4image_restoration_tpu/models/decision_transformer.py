@@ -178,7 +178,8 @@ class DecisionTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, rtg, states, timesteps, task, actions=None,
-                 deterministic: bool = True) -> DTOutput:
+                 deterministic: bool = True,
+                 state_embeddings=None) -> DTOutput:
         """Forward pass.
 
         Args:
@@ -188,15 +189,27 @@ class DecisionTransformer(nn.Module):
           task: (B, T) integer task tokens.
           actions: (B, T, action_dim) or None for two-token (RTG, state) mode.
           deterministic: disables dropout (inference).
+          state_embeddings: optional (B, T, E) precomputed state-encoder
+            outputs — autoregressive decoding encodes each observation once
+            and caches it instead of re-encoding the whole window every
+            step; ``states`` is ignored when given.
         """
         cfg = self.cfg
-        b, t, _ = states.shape
+        b, t = states.shape[:2]
 
         rtg_emb = jnp.tanh(
             nn.Dense(cfg.embed_dim, kernel_init=_normal_init(),
                      bias_init=nn.initializers.zeros,
                      name="embed_return")(rtg))
-        state_emb = StateEncoder(cfg, name="state_encoder")(states)
+        if state_embeddings is None:
+            state_emb = StateEncoder(cfg, name="state_encoder")(states)
+        else:
+            # Params must still be materialized for checkpoint-shape
+            # stability even when the cached path skips the encoder.
+            if self.is_initializing():
+                StateEncoder(cfg, name="state_encoder")(
+                    jnp.zeros((1, 1, cfg.image_size ** 2)))
+            state_emb = state_embeddings
 
         timesteps = jnp.asarray(timesteps).reshape(b, -1).astype(jnp.int32)
         time_emb = nn.Embed(cfg.max_timestep, cfg.embed_dim,
@@ -285,6 +298,31 @@ def make_dt_apply(cfg: ModelConfig, train: bool = False):
         return model.apply({"params": params}, rtg, states, timesteps,
                            task, actions)
     return apply_eval
+
+
+def make_dt_embed_apply(cfg: ModelConfig):
+    """Inference apply over precomputed state embeddings:
+    ``(params, rtg, state_embs (B, T, E), timesteps, task, actions)``."""
+    model = DecisionTransformer(cfg)
+
+    def apply_embed(params, rtg, state_embs, timesteps, task, actions):
+        b, t, _ = state_embs.shape
+        dummy = jnp.zeros((b, t, 0))
+        return model.apply({"params": params}, rtg, dummy, timesteps,
+                           task, actions, state_embeddings=state_embs)
+    return apply_embed
+
+
+def make_state_encode(cfg: ModelConfig):
+    """Standalone state-encoder apply: ``(params, states (B, S)) ->
+    (B, E)`` using the DT's ``state_encoder`` sub-tree."""
+    enc = StateEncoder(cfg)
+
+    def encode(params, states):
+        out = enc.apply({"params": params["state_encoder"]},
+                        states[:, None, :])
+        return out[:, 0]
+    return encode
 
 
 def init_dt_params(cfg: ModelConfig, seed: int = 0):

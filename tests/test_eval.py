@@ -149,6 +149,33 @@ def test_policy_step_window_switch(params):
         assert set(a_dict) == {"T", "sigma_d", "mu"}
 
 
+def test_cached_encoder_matches_uncached(params):
+    """The state-embedding cache must reproduce the recompute-every-step
+    path: same rewards, episode lengths, and final images."""
+    records = [
+        ((np.clip(ds["x0"], 0, None)[..., 0].reshape(1, -1).astype(
+            np.float32),
+          np.full((1, 1), 0.6, np.float32), np.zeros(3, np.float32),
+          np.asarray([i], np.int32)),
+         {k: np.clip(v, 0, None) if k == "x0" else v
+          for k, v in ds.items()})
+        for i, ds in enumerate(make_mat_record(seed=s) for s in (0, 1))]
+
+    kwargs = dict(dt_apply=dt_apply, dt_params=params,
+                  denoise=stub_denoise, cfg=CFG, max_timesteps=MAXT)
+    plain = Evaluator(cached_encoder=False, **kwargs).evaluate_records(
+        records)
+    cached = Evaluator(cached_encoder=True, **kwargs).evaluate_records(
+        records)
+    np.testing.assert_array_equal(cached["episode_len"],
+                                  plain["episode_len"])
+    np.testing.assert_allclose(cached["reward"], plain["reward"],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(cached["final_state"].x),
+                               np.asarray(plain["final_state"].x),
+                               rtol=1e-3, atol=1e-4)
+
+
 def test_evaluator_end_to_end(tmp_path, params):
     """Evaluator.run over a synthetic .mat directory prints aggregates and
     returns a finite increment."""
