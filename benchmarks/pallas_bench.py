@@ -85,6 +85,18 @@ def main() -> None:
         results[f"dt_forward_{tag}_a0"] = round(
             fetch0(apply_fn(dt_params, *inputs)), 6)
 
+    # Single-kernel whole-transformer decode (ops/pallas/transformer.py).
+    from dt4image_restoration_tpu.models.decision_transformer import (
+        make_fused_dt_apply)
+    cfg0 = ModelConfig(block_size=18, n_embeds=9)
+    fused_fn = jax.jit(
+        lambda p, *a: make_fused_dt_apply(cfg0)(p, *a).pred_actions)
+    dt = _throughput(lambda: fused_fn(dt_params, *inputs), fetch0,
+                     repeats=20)
+    results["dt_forward_fused_kernel_ms"] = round(1e3 * dt, 3)
+    results["dt_forward_fused_kernel_a0"] = round(
+        fetch0(fused_fn(dt_params, *inputs)), 6)
+
     print(json.dumps(results))
 
 

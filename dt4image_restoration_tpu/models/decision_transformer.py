@@ -313,6 +313,60 @@ def make_dt_embed_apply(cfg: ModelConfig):
     return apply_embed
 
 
+def make_fused_dt_apply(cfg: ModelConfig):
+    """Handwritten inference decode path: embeddings and heads in plain
+    jnp, the ENTIRE transformer stack (all blocks + final LN) in one Pallas
+    kernel (ops/pallas/transformer.py) — one launch instead of ~60 ops at
+    18-token decode sizes. Output-equivalent to ``make_dt_apply`` (tested);
+    inference-only (no dropout)."""
+    from dt4image_restoration_tpu.ops.pallas.transformer import (
+        fused_dt_decode, pack_dt_weights)
+    encoder = StateEncoder(cfg)
+
+    def dense(p, x):
+        return x @ p["kernel"] + p["bias"]
+
+    def apply_fn(params, rtg, states, timesteps, task, actions=None,
+                 state_embeddings=None):
+        b, t = states.shape[:2]
+        rtg_emb = jnp.tanh(dense(params["embed_return"], rtg))
+        if state_embeddings is None:
+            state_emb = encoder.apply(
+                {"params": params["state_encoder"]}, states)
+        else:
+            state_emb = state_embeddings
+        timesteps = jnp.asarray(timesteps).reshape(b, -1).astype(jnp.int32)
+        time_emb = params["time_embed"]["embedding"][timesteps]
+        state_emb = state_emb + params["task_embed"]["embedding"][task]
+
+        if actions is not None:
+            act_emb = jnp.tanh(dense(params["embed_action"], actions))
+            streams = (rtg_emb, state_emb, act_emb)
+        else:
+            streams = (rtg_emb, state_emb)
+        n_streams = len(streams)
+        tokens = jnp.stack(streams, axis=2).reshape(
+            b, n_streams * t, cfg.embed_dim)
+        tokens = tokens + jnp.repeat(time_emb, n_streams, axis=1)
+
+        x = fused_dt_decode(tokens, pack_dt_weights(params, cfg.n_blocks),
+                            n_blocks=cfg.n_blocks, n_heads=cfg.n_heads)
+
+        x = x.reshape(b, t, n_streams, cfg.embed_dim)
+        raw_actions = jax.nn.sigmoid(
+            dense(params["predict_action"], x[:, :, 1])
+        ).astype(jnp.float32)
+        pred_rtg = None
+        if actions is not None:
+            pred_rtg = dense(params["predict_rtg"],
+                             x[:, :, 2]).astype(jnp.float32)
+        pred_actions, action_dict = transform_actions(raw_actions, cfg.mode)
+        return DTOutput(pred_actions=pred_actions, pred_rtg=pred_rtg,
+                        action_dict=action_dict)
+
+    return apply_fn
+
+
 def make_state_encode(cfg: ModelConfig):
     """Standalone state-encoder apply: ``(params, states (B, S)) ->
     (B, E)`` using the DT's ``state_encoder`` sub-tree."""

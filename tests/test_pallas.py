@@ -66,6 +66,46 @@ def test_layernorm_kernel_matches_torch(rng, n):
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
 
 
+def test_fused_dt_decode_matches_flax(rng):
+    """The single-kernel transformer stack must equal the Flax forward for
+    both token modes."""
+    import jax
+    from dt4image_restoration_tpu.config import ModelConfig
+    from dt4image_restoration_tpu.models.decision_transformer import (
+        init_dt_params, make_dt_apply, make_fused_dt_apply)
+
+    cfg = ModelConfig(block_size=18, n_embeds=9, mode="norm")
+    params = init_dt_params(cfg, seed=0)
+    ref_apply = make_dt_apply(cfg)
+    fused_apply = make_fused_dt_apply(cfg)
+
+    b, t = 2, 6
+    args = (
+        jnp.asarray(rng.uniform(0, 1, (b, t, 1)), jnp.float32),
+        jnp.asarray(rng.uniform(0, 1, (b, t, 128 * 128)), jnp.float32),
+        jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[None, :, None],
+                         (b, t, 1)),
+        jnp.asarray(rng.integers(0, 9, (b, t)), jnp.int32),
+    )
+    actions = jnp.asarray(rng.uniform(0, 1, (b, t, 3)), jnp.float32)
+
+    ref = ref_apply(params, *args, actions)
+    got = fused_apply(params, *args, actions)
+    np.testing.assert_allclose(np.asarray(got.pred_actions),
+                               np.asarray(ref.pred_actions),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.pred_rtg),
+                               np.asarray(ref.pred_rtg),
+                               rtol=1e-4, atol=1e-4)
+
+    ref2 = ref_apply(params, *args, None)
+    got2 = fused_apply(params, *args, None)
+    assert got2.pred_rtg is None
+    np.testing.assert_allclose(np.asarray(got2.pred_actions),
+                               np.asarray(ref2.pred_actions),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_layernorm_kernel_3d_shape(rng):
     x = rng.standard_normal((4, 18, 128)).astype(np.float32)
     scale = np.ones(128, np.float32)
