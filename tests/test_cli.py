@@ -86,7 +86,7 @@ def test_cli_flex_smoke(eval_dir, capsys, monkeypatch):
     assert "Average increment" in out
 
 
-def test_cli_train_smoke(train_fixture, tmp_path, capsys, monkeypatch):
+def _run_train(train_fixture, tmp_path, capsys, monkeypatch) -> str:
     data_dir, h5_path = train_fixture
     monkeypatch.chdir(tmp_path)
     cli.main(["--block_size", "18", "train", "--batch_size", "2",
@@ -99,11 +99,15 @@ def test_cli_train_smoke(train_fixture, tmp_path, capsys, monkeypatch):
     return str(tmp_path / "ckpts" / "model_0")
 
 
+def test_cli_train_smoke(train_fixture, tmp_path, capsys, monkeypatch):
+    _run_train(train_fixture, tmp_path, capsys, monkeypatch)
+
+
 def test_cli_train_then_eval_orbax_roundtrip(train_fixture, eval_dir,
                                              tmp_path, capsys, monkeypatch):
     """Close the loop: a trained orbax checkpoint loads straight into eval
     (the reference's torch .pt round-trip equivalent)."""
-    ckpt = test_cli_train_smoke(train_fixture, tmp_path, capsys, monkeypatch)
+    ckpt = _run_train(train_fixture, tmp_path, capsys, monkeypatch)
     cli.main(["--block_size", "18", "--n_embeds", "9", "eval",
               "--rtg", "10", "--max_timesteps", "8",
               "--checkpoint", ckpt,
