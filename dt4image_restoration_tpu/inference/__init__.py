@@ -5,6 +5,13 @@ from dt4image_restoration_tpu.inference.evaluator import (
     initial_policy_setup,
     make_policy_step,
 )
+from dt4image_restoration_tpu.inference.mcts import (
+    MCTS,
+    BatchedMCTS,
+    Node,
+    run_mcts,
+)
 
 __all__ = ["Evaluator", "EvalBuffers", "greedy_rollout",
-           "initial_policy_setup", "make_policy_step"]
+           "initial_policy_setup", "make_policy_step",
+           "MCTS", "BatchedMCTS", "Node", "run_mcts"]
