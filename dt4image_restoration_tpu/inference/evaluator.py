@@ -281,7 +281,9 @@ class Evaluator:
                self.max_timesteps, self.cached_encoder)
         cached = Evaluator._GLOBAL_PROGRAMS.get(key)
         if cached is not None:
-            self._run_batch = cached
+            # The cache entry pins the keyed callables, so an id() can never
+            # be recycled by the GC onto a different function while cached.
+            _, _, self._run_batch = cached
             return
 
         encode = dt_embed_apply = None
@@ -302,7 +304,8 @@ class Evaluator:
             return final, reward, ep_len
 
         self._run_batch = jax.jit(run)
-        Evaluator._GLOBAL_PROGRAMS[key] = self._run_batch
+        Evaluator._GLOBAL_PROGRAMS[key] = (self.dt_apply, self.denoise,
+                                           self._run_batch)
 
     def evaluate_records(self, records: Sequence[Tuple[Any, Any]]):
         """Evaluate a list of ``((states, rtg, actions, task), mat)`` items

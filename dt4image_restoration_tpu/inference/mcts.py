@@ -150,8 +150,17 @@ class MCTS:
                                   maxt, start_time)
 
         self._rollout = jax.jit(rollout)
-        self._expand_step = jax.jit(
-            lambda s, a: admm_step(self.denoise, s, a))
+
+        def expand_step(s, a):
+            # The reference's `done` is transient — env.step re-decides from
+            # the CURRENT action's T every call (env.py:79-83); it is not
+            # persistent state. Clear the latch on expansion outputs so
+            # later rollouts/expansions from these nodes step normally under
+            # their own freshly predicted actions.
+            out = admm_step(self.denoise, s, a)
+            return out.replace(done=jnp.zeros_like(out.done))
+
+        self._expand_step = jax.jit(expand_step)
 
         # Device-resident incremental buffer updates. The reference rebuilds
         # the 2MB policy buffers on the host from node ancestry on every

@@ -100,6 +100,31 @@ def test_expand_creates_batched_children(mcts):
     assert any(diffs)
 
 
+def test_expansion_done_flag_is_transient(mcts):
+    """The reference's done is recomputed from each step's action
+    (env.py:79-83), never persisted: children produced by a stop-action
+    expansion must still roll out under their own fresh actions."""
+    from dt4image_restoration_tpu.env import reset_from_mat
+    record = _record()
+    (states0, rtg0, _, task0), mat = record
+    env_state = reset_from_mat(mat)
+    root = Node(0, 1.0, None, 0, 0, env_state, env_state, float(rtg0[0, 0]))
+    root.bufs = mcts._seed_bufs(
+        jnp.asarray(states0), jnp.asarray(rtg0).reshape(()),
+        jnp.asarray(task0))
+
+    # Force the stop action via a batched step with T > 0.5.
+    stepped = mcts._expand_step(
+        jax.tree.map(lambda x: jnp.repeat(x, 2, axis=0), env_state),
+        {"T": np.asarray([0.9, 0.9], np.float32),
+         "sigma_d": np.asarray([0.1, 0.1], np.float32),
+         "mu": np.asarray([0.3, 0.3], np.float32)})
+    assert not bool(stepped.done[0])  # latch cleared
+    # State itself frozen by the stop action (reference early return).
+    np.testing.assert_array_equal(np.asarray(stepped.x[0]),
+                                  np.asarray(env_state.x[0]))
+
+
 def test_mcts_end_to_end(mcts):
     reward = mcts.run(_record(), seed=0)
     assert np.isfinite(reward)
