@@ -338,7 +338,6 @@ class BatchedMCTS(MCTS):
         roots = []
         rewards_dicts = []
         states_dicts = []
-        tasks = []
         for (states0, rtg0, _, task0), mat in records:
             env_state = reset_from_mat(mat)
             root = Node(time=0, prob=1.0, parent=None, edge=0, index=0,
@@ -352,7 +351,6 @@ class BatchedMCTS(MCTS):
             roots.append(root)
             rewards_dicts.append({})
             states_dicts.append({})
-            tasks.append(int(np.asarray(task0).reshape(-1)[0]))
 
         k = self.cfg.n_children
         for i in range(self.cfg.iterations):

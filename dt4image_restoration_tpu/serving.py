@@ -145,13 +145,19 @@ class RestorationService:
         pad = self.batch_size - n
         padded = list(requests) + [requests[-1]] * pad
 
+        has_gt = all("gt" in r.mat for r in requests)
         mats = {k: np.concatenate(
             [np.asarray(r.mat[k]) for r in padded])
-            for k in ("x0", "y0", "mask", "gt")}
+            for k in ("x0", "y0", "mask")}
+        # gt is optional at serving time (no reference image in production);
+        # the env carries zeros and the PSNR output is suppressed.
+        mats["gt"] = np.concatenate(
+            [np.asarray(r.mat["gt"]) if "gt" in r.mat
+             else np.zeros(np.asarray(r.mat["mask"]).shape, np.float32)
+             for r in padded])
         # The reference's eval dataset clips x0 at 0 before the env consumes
         # it (datasets.py:160,199); keep serving consistent with that path.
         mats["x0"] = np.clip(mats["x0"], 0, None)
-        has_gt = all("gt" in r.mat for r in requests)
         env_state = reset_from_mat(mats)
 
         if self.mode == "policy":

@@ -79,6 +79,19 @@ def test_policy_mode_matches_direct_evaluator(params):
         [r.episode_len for r in results], direct["episode_len"])
 
 
+def test_service_without_ground_truth():
+    """Production requests carry no gt: restoration proceeds, PSNR is None."""
+    svc = RestorationService(denoise=lambda img, sig: jnp.clip(img, 0, 1),
+                             mode="fixed", batch_size=2, max_timesteps=8)
+    mat = {k: v for k, v in make_mat_record(seed=0).items() if k != "gt"}
+    try:
+        res = svc.restore([RestorationRequest(mat=mat)])[0]
+    finally:
+        svc.close()
+    assert res.psnr_db is None
+    assert res.image.shape == (128, 128)
+
+
 def test_concurrent_submissions(params):
     import threading
     svc = RestorationService(denoise=stub_denoise, cfg=CFG,
