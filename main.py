@@ -128,6 +128,16 @@ def cmd_train(args) -> None:
     print("Training complete; last losses:", trainer.last_losses)
 
 
+def _eval_mesh():
+    """Shard eval image batches over all local devices when more than one
+    is attached (SURVEY.md parallelism checklist item b)."""
+    import jax
+    if len(jax.devices()) <= 1:
+        return None
+    from dt4image_restoration_tpu.training import make_mesh
+    return make_mesh(n_data=len(jax.devices()), n_model=1)
+
+
 def _make_evaluator(args, mode: str, ckpt: str, rtg_target, eval_type):
     from dt4image_restoration_tpu.config import ModelConfig
     from dt4image_restoration_tpu.inference import Evaluator
@@ -139,7 +149,8 @@ def _make_evaluator(args, mode: str, ckpt: str, rtg_target, eval_type):
     return Evaluator(dt_apply=dt_apply, dt_params=dt_params,
                      denoise=denoise, cfg=cfg,
                      max_timesteps=args.max_timesteps or 30,
-                     rtg_target=float(rtg_target), eval_type=eval_type)
+                     rtg_target=float(rtg_target), eval_type=eval_type,
+                     mesh=_eval_mesh())
 
 
 def cmd_eval(args) -> None:
@@ -163,7 +174,7 @@ def cmd_flex(args) -> None:
         evaluator = Evaluator(
             dt_apply=dt_apply, dt_params=dt_params, denoise=denoise,
             cfg=cfg, max_timesteps=args.max_timesteps or 30,
-            rtg_target=float(rtg), eval_type="flex")
+            rtg_target=float(rtg), eval_type="flex", mesh=_eval_mesh())
         print(f"Test for reward increment: {rtg}\n")
         total = evaluator.run([d for d in dirs if os.path.isdir(d)] or dirs)
         print(f"\nAverage increment: {total / len(dirs)}\n")
