@@ -138,16 +138,29 @@ class MCTS:
     cfg: MCTSConfig
     value_fn: Callable[[np.ndarray], float]
 
+    cached_encoder: bool = True  # cache state-encoder outputs in buffers
+
     def __post_init__(self):
         cfg = self.model_cfg
-        self._policy_step = jax.jit(make_policy_step(self.dt_apply, cfg))
         maxt = self.cfg.max_timesteps
+
+        encode = dt_embed_apply = None
+        if self.cached_encoder:
+            from dt4image_restoration_tpu.models.decision_transformer import (
+                make_dt_embed_apply, make_state_encode)
+            encode = make_state_encode(cfg)
+            dt_embed_apply = make_dt_embed_apply(cfg)
+        self._encode = encode
+
+        self._policy_step = jax.jit(
+            make_policy_step(self.dt_apply, cfg, dt_embed_apply))
 
         def rollout(params, env_state, bufs, action_dict, pred_rtg,
                     start_time):
             return greedy_rollout(self.dt_apply, self.denoise, cfg, params,
                                   env_state, bufs, action_dict, pred_rtg,
-                                  maxt, start_time)
+                                  maxt, start_time, encode=encode,
+                                  dt_embed_apply=dt_embed_apply)
 
         self._rollout = jax.jit(rollout)
 
@@ -169,30 +182,42 @@ class MCTS:
         # buffer transfers disappear from the search loop.
         s = cfg.image_size ** 2
 
-        @jax.jit
-        def seed_bufs(policy_x0, rtg0, task):
+        def seed_bufs(params, policy_x0, rtg0, task):
             b = policy_x0.shape[0]
+            state_embs = None
+            if encode is not None:
+                zero_emb = encode(params, jnp.zeros((1, s)))[0]
+                state_embs = jnp.broadcast_to(
+                    zero_emb, (b, maxt, zero_emb.shape[-1])
+                ).at[:, 0].set(encode(params, policy_x0))
             return EvalBuffers(
                 states=jnp.zeros((b, maxt, s)).at[:, 0].set(policy_x0),
                 actions=jnp.zeros((b, maxt, cfg.action_dim)),
                 rtg=jnp.zeros((b, maxt, 1)).at[:, 0, 0].set(
                     rtg0.reshape(b)),
-                task=task.reshape(b).astype(jnp.int32))
+                task=task.reshape(b).astype(jnp.int32),
+                state_embs=state_embs)
 
-        @jax.jit
-        def child_bufs(bufs, t, stepped_slot0, pred_rtg):
+        def child_bufs(params, bufs, t, stepped_slot0, pred_rtg):
             b = bufs.states.shape[0]
             t = jnp.broadcast_to(jnp.asarray(t, jnp.int32).reshape(-1),
                                  (b,))
             rows = jnp.arange(b)
             ob = stepped_slot0.x[..., 0].reshape(b, -1)
-            return bufs.replace(
+            new = bufs.replace(
                 states=bufs.states.at[rows, t].set(ob),
                 rtg=bufs.rtg.at[rows, t, 0].set(
                     jnp.reshape(pred_rtg, (b,))))
+            if encode is not None:
+                new = new.replace(
+                    state_embs=bufs.state_embs.at[rows, t].set(
+                        encode(params, ob)))
+            return new
 
-        self._seed_bufs = seed_bufs
-        self._child_bufs = child_bufs
+        self._seed_bufs = jax.jit(
+            lambda *a: seed_bufs(self.dt_params, *a))
+        self._child_bufs = jax.jit(
+            lambda *a: child_bufs(self.dt_params, *a))
 
     # -- expansion (mcts.py:103-143) --------------------------------------
     def expand(self, node: Node, task: int, rng: np.random.Generator,

@@ -131,6 +131,16 @@ def test_mcts_end_to_end(mcts):
     assert 0 < reward < 60  # a PSNR-like value
 
 
+def test_mcts_cached_encoder_matches_uncached(mcts):
+    """The state-embedding cache must not change search results."""
+    params = mcts.dt_params
+    plain = MCTS(dt_apply=dt_apply, dt_params=params, denoise=stub_denoise,
+                 model_cfg=CFG, cfg=mcts.cfg, value_fn=proxy_value_fn,
+                 cached_encoder=False)
+    r = _record(seed=3)
+    assert plain.run(r, seed=5) == mcts.run(r, seed=5)
+
+
 def test_mcts_deterministic_given_seed(mcts):
     r1 = mcts.run(_record(seed=1), seed=7)
     r2 = mcts.run(_record(seed=1), seed=7)
