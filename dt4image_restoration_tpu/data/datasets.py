@@ -74,15 +74,20 @@ class TrainingDataset:
         self.path_prefix_len = path_prefix_len
         self.files = sorted(os.listdir(data_dir))
         self.rng = rng or np.random.default_rng(0)
+        self._h5 = None
 
     def __len__(self) -> int:
         return len(self.files)
 
     def _get_image(self, traj_path: str) -> np.ndarray:
-        import h5py
+        # One persistent read handle (the reference reopens the file per
+        # image, datasets.py:51); batch assembly is single-threaded
+        # (training/sharding.background_batches), so this is safe.
+        if self._h5 is None:
+            import h5py
+            self._h5 = h5py.File(self.state_file_path, "r")
         key = traj_path[self.path_prefix_len:]
-        with h5py.File(self.state_file_path, "r") as f:
-            return np.float32(f[key][:] / 255)
+        return np.float32(self._h5[key][:] / 255)
 
     def __getitem__(self, index: int):
         with open(os.path.join(self.data_dir, self.files[index])) as f:
