@@ -27,8 +27,12 @@ MAXT = 10
 CTX = 6
 
 
+# Column -> action-key mapping per mode (decision_transformer.py:147-154).
+MODE_COLS = {"norm": ("T", "sigma_d", "mu"), "flex": ("mu", "sigma_d", "T")}
+
+
 def torch_eval_episode(dt_sd, unet_sd, mat, rtg0, task_id,
-                       max_timesteps=MAXT):
+                       max_timesteps=MAXT, mode="norm"):
     """The reference's full greedy evaluation for one image, in torch."""
     x0 = torch.view_as_complex(
         torch.from_numpy(np.asarray(mat["x0"], np.float32))).reshape(
@@ -74,16 +78,19 @@ def torch_eval_episode(dt_sd, unet_sd, mat, rtg0, task_id,
     task = torch.full((1, CTX), task_id, dtype=torch.long)
     ts = torch.arange(CTX).reshape(1, CTX, 1)
 
+    cols = MODE_COLS[mode]
+
+    def to_action(vec):
+        return {cols[i]: vec[i] for i in range(3)}
+
     with torch.no_grad():
         pred_actions, _ = torch_dt_forward(
-            dt_sd, rtg[:, :CTX], states[:, :CTX], ts, task, None, "norm")
+            dt_sd, rtg[:, :CTX], states[:, :CTX], ts, task, None, mode)
         actions[0, 0] = pred_actions[0, 0]
-        action = {"T": pred_actions[0, 0, 0],
-                  "sigma_d": pred_actions[0, 0, 1],
-                  "mu": pred_actions[0, 0, 2]}
+        action = to_action(pred_actions[0, 0])
         _, pred_rtg_all = torch_dt_forward(
             dt_sd, torch.zeros(1, CTX, 1), states[:, :CTX], ts, task,
-            torch.zeros(1, CTX, 3), "norm")
+            torch.zeros(1, CTX, 3), mode)
         pred_rtg = pred_rtg_all[0, 0, 0]
 
         for t in range(1, max_timesteps + 1):
@@ -99,34 +106,38 @@ def torch_eval_episode(dt_sd, unet_sd, mat, rtg0, task_id,
             w_ts = torch.arange(lo, hi).reshape(1, CTX, 1)
             pa, _ = torch_dt_forward(
                 dt_sd, rtg[:, lo:hi], states[:, lo:hi], w_ts, task,
-                actions[:, lo:hi], "norm")
+                actions[:, lo:hi], mode)
             idx = t if t < CTX else CTX - 1
             actions[0, t] = pa[0, idx]
-            action = {"T": pa[0, idx, 0], "sigma_d": pa[0, idx, 1],
-                      "mu": pa[0, idx, 2]}
+            action = to_action(pa[0, idx])
             _, pr = torch_dt_forward(
                 dt_sd, rtg[:, lo:hi], states[:, lo:hi], w_ts, task,
-                actions[:, lo:hi], "norm")
+                actions[:, lo:hi], mode)
             rtg_idx = t if t < CTX else CTX - 2
             pred_rtg = pr[0, rtg_idx, 0]
 
 
-@pytest.mark.parametrize("image_seed", [0, 4])
-def test_full_pipeline_cross_framework_parity(image_seed):
+@pytest.mark.parametrize("image_seed,mode",
+                         [(0, "norm"), (4, "norm"), (0, "flex")])
+def test_full_pipeline_cross_framework_parity(image_seed, mode):
     gen = torch.Generator().manual_seed(0)
     dt_sd = make_dt_state_dict(gen)
     # Bias the stop logit low so episodes run full length — the sliding
     # window and the t >= ctx index switch must be exercised cross-framework.
-    dt_sd["predict_action.0.bias"][0] -= 4.0
+    # The stop action's column differs by mode (T is column 0 in norm,
+    # column 2 in flex — decision_transformer.py:147-154).
+    stop_col = MODE_COLS[mode].index("T")
+    dt_sd["predict_action.0.bias"][stop_col] -= 4.0
     unet_sd = random_unet_state_dict(seed=0)
     mat = make_mat_record(seed=image_seed)
     rtg0, task_id = 0.62, 3
 
     mat = dict(mat)
     mat["x0"] = np.clip(mat["x0"], 0, None)  # dataset clips the record
-    ref_x, ref_len = torch_eval_episode(dt_sd, unet_sd, mat, rtg0, task_id)
+    ref_x, ref_len = torch_eval_episode(dt_sd, unet_sd, mat, rtg0, task_id,
+                                        mode=mode)
 
-    cfg = ModelConfig(block_size=18, n_embeds=9, mode="norm")
+    cfg = ModelConfig(block_size=18, n_embeds=9, mode=mode)
     dt_params = convert_dt_state_dict(dt_sd)
     unet_params = convert_unet_state_dict(unet_sd)
     den_model = UNetDenoiser()
