@@ -111,6 +111,13 @@ class RestorationService:
     def close(self) -> None:
         self._stop.set()
         self._worker.join(timeout=5)
+        # Cancel anything still queued so callers don't block forever.
+        while True:
+            try:
+                _, fut = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            fut.cancel()
 
     # -- dispatcher ---------------------------------------------------------
     def _collect(self):
