@@ -176,6 +176,31 @@ def test_cached_encoder_matches_uncached(params):
                                rtol=1e-3, atol=1e-4)
 
 
+def test_fused_decode_drop_in_policy(params):
+    """make_fused_dt_apply (single-kernel transformer) is a drop-in
+    dt_apply for the evaluator and reproduces the Flax-policy results."""
+    from dt4image_restoration_tpu.models.decision_transformer import (
+        make_fused_dt_apply)
+    records = [
+        ((np.clip(ds["x0"], 0, None)[..., 0].reshape(1, -1).astype(
+            np.float32),
+          np.full((1, 1), 0.6, np.float32), np.zeros(3, np.float32),
+          np.asarray([0], np.int32)),
+         {k: np.clip(v, 0, None) if k == "x0" else v
+          for k, v in ds.items()})
+        for ds in (make_mat_record(seed=9),)]
+    kwargs = dict(dt_params=params, denoise=stub_denoise, cfg=CFG,
+                  max_timesteps=MAXT, cached_encoder=False)
+    flax_out = Evaluator(dt_apply=dt_apply, **kwargs).evaluate_records(
+        records)
+    fused_out = Evaluator(dt_apply=make_fused_dt_apply(CFG),
+                          **kwargs).evaluate_records(records)
+    np.testing.assert_array_equal(fused_out["episode_len"],
+                                  flax_out["episode_len"])
+    np.testing.assert_allclose(fused_out["reward"], flax_out["reward"],
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_evaluator_end_to_end(tmp_path, params):
     """Evaluator.run over a synthetic .mat directory prints aggregates and
     returns a finite increment."""
