@@ -101,13 +101,15 @@ class EvalConfig:
 
 @dataclasses.dataclass(frozen=True)
 class MCTSConfig:
-    """PUCB tree search (reference: /root/reference/evaluation/mcts.py)."""
+    """PUCB tree search (reference: /root/reference/evaluation/mcts.py).
+
+    The reference's ``c_base``/``c`` selection constants feed only a dead
+    ``beta`` computation (mcts.py:74-77) and are not carried here.
+    """
     iterations: int = 30
     n_children: int = 5
     sigma_d_std: float = 0.2
     mu_std: float = 0.001
-    c_base: float = 10.0
-    c: float = 30.0
     max_timesteps: int = 30
     context_length: int = 6
     seed: int = 0

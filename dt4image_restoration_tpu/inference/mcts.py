@@ -20,8 +20,9 @@ Documented deviations from the reference (SURVEY.md §2 known bugs):
     another and every node aliases the same dict (mcts.py:118-126). We
     implement the evidently-intended branching semantics: each child steps
     once from the parent's state.
-  * sampling uses jax.random with an explicit seed (the reference uses
-    unseeded torch.distributions, mcts.py:64-70), so runs are reproducible.
+  * sampling uses seeded numpy RNG streams (the reference uses unseeded
+    torch.distributions, mcts.py:64-70), so runs are reproducible. Fold/
+    density/sort semantics match the reference exactly (fold_and_sort).
 """
 from __future__ import annotations
 
@@ -83,12 +84,16 @@ class Node:
         return nodes
 
 
-def select_p_ucb(parent: Node, c_base: float = 10.0, c: float = 30.0
-                 ) -> Node:
+def select_p_ucb(parent: Node) -> Node:
     """PUCB child selection (mcts.py:74-88): score = (child.reward -
     parent.reward) + prob * sqrt(log(parent visits)) / (1 + child visits).
     Falls back to the parent when no child beats the floor score, like the
-    reference's ``max_node = parent_node`` initialization."""
+    reference's ``max_node = parent_node`` initialization.
+
+    The reference signature carries ``c_base``/``c`` parameters whose only
+    use is a ``beta`` value that is computed and discarded (mcts.py:74-77
+    — dead code); they are dropped here rather than kept as silently
+    ignored arguments."""
     max_p_ucb = -1000.0
     s_visits = parent.s_visits
     log_visits = math.log(s_visits) if s_visits > 0 else -math.inf
@@ -102,6 +107,25 @@ def select_p_ucb(parent: Node, c_base: float = 10.0, c: float = 30.0
     return best
 
 
+def fold_and_sort(raw: np.ndarray, loc: float, std: float
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+    """Fold raw normal draws to |draws| and sort by descending density.
+
+    Matches the reference exactly (mcts.py:64-70): densities are the
+    N(loc, std) pdf evaluated at the FOLDED samples (torch evaluates
+    ``log_prob`` on ``sample().abs()``), not at the raw draws — whenever a
+    raw draw is negative, both the density value and the sort order follow
+    the folded value. Split out from :func:`sample_actions` so parity tests
+    can inject the same raw draws into both frameworks.
+    """
+    samples = np.abs(np.asarray(raw, np.float64))
+    probs = np.exp(-0.5 * ((samples - loc) / std) ** 2) \
+        / (std * np.sqrt(2 * np.pi))
+    order = np.argsort(-probs, kind="stable")
+    return (samples[order].astype(np.float32),
+            probs[order].astype(np.float32))
+
+
 def sample_actions(rng: np.random.Generator, loc: float, std: float, n: int
                    ) -> Tuple[np.ndarray, np.ndarray]:
     """|N(loc, std)| samples sorted by descending density (mcts.py:64-70).
@@ -110,11 +134,7 @@ def sample_actions(rng: np.random.Generator, loc: float, std: float, n: int
     dispatch round-trip per expansion for zero compute.
     """
     raw = loc + std * rng.standard_normal(n)
-    samples = np.abs(raw).astype(np.float32)
-    probs = np.exp(-0.5 * ((raw - loc) / std) ** 2) \
-        / (std * np.sqrt(2 * np.pi))
-    order = np.argsort(-probs)
-    return samples[order], probs[order].astype(np.float32)
+    return fold_and_sort(raw, loc, std)
 
 
 def _index_state(state: CSMRIState, i: int) -> CSMRIState:
@@ -225,19 +245,23 @@ class MCTS:
         action_vec, action_dict, pred_rtg, bufs_upd = self._policy_step(
             self.dt_params, node.bufs, node.time)
         # ``bufs_upd`` holds the node's model action at its slot: descendants
-        # inherit it (the reference's build_action over expanded ancestors,
-        # mcts.py:53-59,107-108), but ``node.bufs`` itself stays pre-action —
-        # the reference's rollout rebuilds from the PARENT chain only
-        # (mcts.py:202-205), so the node's own action must not be visible to
-        # the rollout's policy step when node.time < context_length.
+        # inherit it (the reference's build_action walks the CHILD's parent
+        # chain, which includes this just-expanded node, mcts.py:107-113).
+        # ``node.bufs`` itself stays pre-action — the reference's rollout of
+        # this node rebuilds actions from node._parent only (mcts.py:202-205).
         node.action = np.asarray(action_vec[0])
         adict = {k: float(v[0]) for k, v in jax.device_get(action_dict
                                                            ).items()}
 
-        sigma_d, probs = sample_actions(
+        # Child priors are the MU-sampling densities: the reference samples
+        # sigma_d first, then ``mu, probs = sample_action_dict(mu, 0.001)``
+        # OVERWRITES probs (mcts.py:114-116), and Node(prob=probs[index])
+        # uses those (mcts.py:127-131). With std 0.001 the densities are
+        # O(400) — the PUCB exploration scale depends on this.
+        sigma_d, _ = sample_actions(
             rng, adict["sigma_d"], self.cfg.sigma_d_std,
             self.cfg.n_children)
-        mu, _ = sample_actions(
+        mu, probs = sample_actions(
             rng, adict["mu"], self.cfg.mu_std, self.cfg.n_children)
 
         # One batched env step: slot 0 = the model action (-> policy_state),
@@ -255,8 +279,9 @@ class MCTS:
         node.set_policy_state(_index_state(stepped, 0))
         pred_rtg_f = float(pred_rtg[0])
         # All children share one (immutable) buffer snapshot: ancestry
-        # states/actions + this node's policy state and RTG at slot time+1.
-        shared_bufs = self._child_bufs(node.bufs, node.time + 1,
+        # states/actions INCLUDING this node's model action (bufs_upd) +
+        # this node's policy state and RTG at slot time+1.
+        shared_bufs = self._child_bufs(bufs_upd, node.time + 1,
                                        node.policy_state, pred_rtg[0])
         for i in range(n):
             child = Node(time=node.time + 1, prob=float(probs[i]),
@@ -304,7 +329,7 @@ class MCTS:
             root.s_visits += 1
             node = root
             while node.children:
-                node = select_p_ucb(node, self.cfg.c_base, self.cfg.c)
+                node = select_p_ucb(node)
                 node.s_visits += 1
 
             node, _, _ = self.expand(node, task, rng, i)
@@ -385,7 +410,7 @@ class BatchedMCTS(MCTS):
                 root.s_visits += 1
                 node = root
                 while node.children:
-                    node = select_p_ucb(node, self.cfg.c_base, self.cfg.c)
+                    node = select_p_ucb(node)
                     node.s_visits += 1
                 leaves.append(node)
 
@@ -405,10 +430,12 @@ class BatchedMCTS(MCTS):
             mu_act = np.empty((n_trees, k + 1), np.float32)
             probs_all = []
             for j, node in enumerate(leaves):
-                sigma_d, probs = sample_actions(
+                # Priors = the MU densities (reference overwrite,
+                # mcts.py:114-116) — see MCTS.expand.
+                sigma_d, _ = sample_actions(
                     rngs[j], float(adict_h["sigma_d"][j]),
                     self.cfg.sigma_d_std, k)
-                mu, _ = sample_actions(
+                mu, probs = sample_actions(
                     rngs[j], float(adict_h["mu"][j]), self.cfg.mu_std, k)
                 t_act[j] = adict_h["T"][j]
                 sig_act[j] = np.concatenate([[adict_h["sigma_d"][j]],

@@ -33,6 +33,71 @@ def test_sample_actions_sorted_by_density():
     assert (np.diff(probs) <= 1e-7).all()  # descending density
 
 
+def torch_sample_action_dict(loc, std, raw):
+    """Torch restatement of the reference's sample_action_dict
+    (mcts.py:64-70) with injectable raw draws: fold to |draws|, evaluate
+    the Normal density AT THE FOLDED samples, sort descending."""
+    import torch
+    import torch.distributions as dist
+    d = dist.Normal(float(loc), float(std))
+    action = torch.as_tensor(raw, dtype=torch.float64).abs()
+    probs = torch.exp(d.log_prob(action))
+    probs, idx = torch.sort(probs, descending=True)
+    return action[idx].numpy(), probs.numpy()
+
+
+@pytest.mark.parametrize("loc,std", [(0.27, 0.2), (0.05, 0.2),
+                                     (0.3, 0.001), (0.0004, 0.001)])
+def test_fold_and_sort_matches_torch_reference(loc, std):
+    """Densities must be evaluated at |samples| (not raw draws) and the
+    sort order must follow them — pinned against the torch restatement,
+    including raw draws forced negative so the fold actually matters."""
+    from dt4image_restoration_tpu.inference.mcts import fold_and_sort
+    rng = np.random.default_rng(42)
+    raw = rng.normal(loc, std, 5)
+    raw[1] = -abs(raw[1]) - 0.3 * std  # guarantee a folded draw
+    ref_samples, ref_probs = torch_sample_action_dict(loc, std, raw)
+    samples, probs = fold_and_sort(raw, loc, std)
+    # rtol 1e-4 absorbs our float32 outputs vs the float64 oracle; the
+    # fold itself changes densities by orders of magnitude when it fires.
+    np.testing.assert_allclose(samples, ref_samples, rtol=1e-4)
+    np.testing.assert_allclose(probs, ref_probs, rtol=1e-4)
+
+
+def test_pucb_selection_round_matches_torch_reference():
+    """One full PUCB selection round over mu-density priors, pinned against
+    a torch restatement of the reference's select_p_ucb (mcts.py:74-88)."""
+    import torch
+
+    def torch_select(parent_reward, s_visits, rewards, probs, visits):
+        max_p_ucb, best = -1000.0, None
+        for i in range(len(rewards)):
+            p_ucb = (rewards[i] - parent_reward) + probs[i] * torch.sqrt(
+                torch.log(torch.Tensor([s_visits]))) / (1 + visits[i])
+            if p_ucb > max_p_ucb:
+                best, max_p_ucb = i, float(p_ucb)
+        return best
+
+    # Priors at the reference's mu-density scale (std 0.001 -> O(400)).
+    rng = np.random.default_rng(3)
+    raw = rng.normal(0.3, 0.001, 5)
+    from dt4image_restoration_tpu.inference.mcts import fold_and_sort
+    _, probs = fold_and_sort(raw, 0.3, 0.001)
+    rewards = [28.1, 28.4, 27.9, 28.3, 28.2]
+    visits = [2, 0, 1, 3, 0]
+
+    parent = Node(0, 1.0, None, 0, 0, None, None, 0.5)
+    parent.reward, parent.s_visits = 28.0, 7
+    for i in range(5):
+        c = Node(1, float(probs[i]), parent, i, 0, None, None, 0.5)
+        c.reward, c.s_visits = rewards[i], visits[i]
+        parent.children.append(c)
+
+    want = torch_select(parent.reward, parent.s_visits, rewards,
+                        probs.tolist(), visits)
+    assert select_p_ucb(parent) is parent.children[want]
+
+
 def test_select_p_ucb_prefers_high_reward():
     parent = Node(0, 1.0, None, 0, 0, None, None, 0.5)
     parent.s_visits = 3
@@ -98,6 +163,24 @@ def test_expand_creates_batched_children(mcts):
     diffs = [not np.allclose(x0, np.asarray(c.env_state.x))
              for c in node.children[1:]]
     assert any(diffs)
+
+    # Child priors are the MU-sampling densities (reference mcts.py:114-116
+    # overwrites probs with the mu densities before Node(prob=...)).
+    # Replay the expansion's RNG stream: sigma_d draws first, mu second.
+    rng2 = np.random.default_rng(1)
+    _ = sample_actions(rng2, adict["sigma_d"], mcts.cfg.sigma_d_std, 5)
+    _, mu_probs = sample_actions(rng2, adict["mu"], mcts.cfg.mu_std, 5)
+    np.testing.assert_allclose([c.prob for c in node.children], mu_probs,
+                               rtol=1e-6)
+    # std 0.001 densities are O(100+) — the PUCB exploration scale.
+    assert max(c.prob for c in node.children) > 50
+
+    # Children's buffers carry the parent's model action at the parent's
+    # slot (the reference's build_action walks the child's parent chain,
+    # mcts.py:107-113).
+    child_actions = np.asarray(node.children[0].bufs.actions)
+    np.testing.assert_allclose(child_actions[0, node.time], node.action,
+                               rtol=1e-6)
 
 
 def test_expansion_done_flag_is_transient(mcts):
