@@ -166,7 +166,9 @@ class EvaluationDataset:
         (datasets.py:135-168)
 
     ``__getitem__`` returns ``((states, rtg, actions, task), mat)`` where
-    ``mat['x0']`` is clipped at 0 like the reference (:160, :199).
+    ``mat['x0']`` is clipped at 0 like the reference (:160, :199) while
+    ``states`` reads the raw unclipped x0 (:163 reads ``mat['x0']``, which
+    the clip's rebinding never touched).
     """
 
     def __init__(self, data_dir: str, rtg_target: float,
@@ -207,9 +209,12 @@ class EvaluationDataset:
         mat = loadmat(os.path.join(self.data_dir, fn))
         record = {k: np.asarray(mat[k]) for k in
                   ("x0", "y0", "mask", "ATy0", "gt")}
-        record["x0"] = np.clip(record["x0"], 0, None)
-
+        # The policy's initial observation comes from the UNCLIPPED x0: the
+        # reference's np.clip rebinds only the env record entry
+        # (datasets.py:160-164); ``states`` reads the raw mat['x0'], which
+        # typically has negative reals (zero-filled recon).
         states = record["x0"][..., 0].reshape(1, -1).astype(np.float32)
+        record["x0"] = np.clip(record["x0"], 0, None)
         rtg = minmax_normalize(self.rtg_target, self.min_rtg, self.max_rtg)
         rtg = np.full((1, 1), rtg, np.float32)
         actions = np.zeros((self.action_dim,), np.float32)

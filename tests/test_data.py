@@ -6,7 +6,7 @@ import os
 import h5py
 import numpy as np
 import pytest
-from scipy.io import savemat
+from scipy.io import loadmat, savemat
 
 from dt4image_restoration_tpu.config import (
     FLEX_TASKS, OPTIMAL_RTG_RANGE, OPTIMAL_TASKS)
@@ -137,8 +137,14 @@ def test_eval_dataset_optimal(mat_dir):
                                rtol=1e-5)
     np.testing.assert_array_equal(actions, 0)
     assert int(task[0]) == OPTIMAL_TASKS.index("4x_15")
-    assert (mat["x0"] >= 0).all()  # clipped at 0 (datasets.py:199)
-    assert states.min() >= 0
+    assert (mat["x0"] >= 0).all()  # record clipped at 0 (datasets.py:199)
+    # ...but the policy's initial state reads the UNCLIPPED x0
+    # (datasets.py:202 reads mat['x0'], untouched by the record clip);
+    # zero-filled recons typically have negative reals.
+    assert states.min() < 0
+    raw = loadmat(os.path.join(mat_dir, ds.fns[0]))
+    np.testing.assert_array_equal(
+        states, np.asarray(raw["x0"])[..., 0].reshape(1, -1))
 
 
 def test_eval_dataset_flex_task_token(mat_dir):

@@ -33,9 +33,16 @@ MODE_COLS = {"norm": ("T", "sigma_d", "mu"), "flex": ("mu", "sigma_d", "T")}
 
 def torch_eval_episode(dt_sd, unet_sd, mat, rtg0, task_id,
                        max_timesteps=MAXT, mode="norm"):
-    """The reference's full greedy evaluation for one image, in torch."""
+    """The reference's full greedy evaluation for one image, in torch.
+
+    Takes the RAW mat record: the env consumes x0 clipped at 0 (the
+    dataset's record clip, datasets.py:160), while the policy's initial
+    observation reads the UNCLIPPED x0 (datasets.py:163 reads mat['x0'],
+    untouched by the clip's rebinding).
+    """
     x0 = torch.view_as_complex(
-        torch.from_numpy(np.asarray(mat["x0"], np.float32))).reshape(
+        torch.from_numpy(
+            np.clip(np.asarray(mat["x0"], np.float32), 0, None))).reshape(
         1, 1, 128, 128)
     y0 = torch.view_as_complex(
         torch.from_numpy(np.asarray(mat["y0"], np.float32))).reshape(
@@ -72,8 +79,7 @@ def torch_eval_episode(dt_sd, unet_sd, mat, rtg0, task_id,
     actions = torch.zeros(1, max_timesteps, 3)
     rtg = torch.zeros(1, max_timesteps, 1)
     states[0, 0] = torch.from_numpy(
-        np.clip(np.asarray(mat["x0"], np.float32), 0, None)[..., 0]
-    ).reshape(-1)
+        np.asarray(mat["x0"], np.float32)[..., 0]).reshape(-1)
     rtg[0, 0] = rtg0
     task = torch.full((1, CTX), task_id, dtype=torch.long)
     ts = torch.arange(CTX).reshape(1, CTX, 1)
@@ -117,23 +123,10 @@ def torch_eval_episode(dt_sd, unet_sd, mat, rtg0, task_id,
             pred_rtg = pr[0, rtg_idx, 0]
 
 
-@pytest.mark.parametrize("image_seed,mode",
-                         [(0, "norm"), (4, "norm"), (0, "flex")])
-def test_full_pipeline_cross_framework_parity(image_seed, mode):
-    gen = torch.Generator().manual_seed(0)
-    dt_sd = make_dt_state_dict(gen)
-    # Bias the stop logit low so episodes run full length — the sliding
-    # window and the t >= ctx index switch must be exercised cross-framework.
-    # The stop action's column differs by mode (T is column 0 in norm,
-    # column 2 in flex — decision_transformer.py:147-154).
-    stop_col = MODE_COLS[mode].index("T")
-    dt_sd["predict_action.0.bias"][stop_col] -= 4.0
-    unet_sd = random_unet_state_dict(seed=0)
-    mat = make_mat_record(seed=image_seed)
-    rtg0, task_id = 0.62, 3
-
-    mat = dict(mat)
-    mat["x0"] = np.clip(mat["x0"], 0, None)  # dataset clips the record
+def _run_both(dt_sd, unet_sd, mat, rtg0, task_id, mode):
+    """Run the torch oracle episode and our fused JAX scan on the same raw
+    mat record + converted weights; return (ref_x, ref_len, jax_x, jax_len).
+    """
     ref_x, ref_len = torch_eval_episode(dt_sd, unet_sd, mat, rtg0, task_id,
                                         mode=mode)
 
@@ -149,9 +142,12 @@ def test_full_pipeline_cross_framework_parity(image_seed, mode):
     def denoise(img, sig):
         return den_model.apply({"params": unet_params}, img, sig)
 
+    # Mirror EvaluationDataset: env record clipped, policy state unclipped.
+    record = dict(mat)
+    record["x0"] = np.clip(np.asarray(mat["x0"]), 0, None)
     policy_x0 = jnp.asarray(
-        mat["x0"][..., 0].reshape(1, -1).astype(np.float32))
-    env_state = reset_from_mat(mat)
+        np.asarray(mat["x0"])[..., 0].reshape(1, -1).astype(np.float32))
+    env_state = reset_from_mat(record)
 
     bufs, _, action_dict, pred_rtg = initial_policy_setup(
         dt_apply, cfg, dt_params, policy_x0,
@@ -159,8 +155,53 @@ def test_full_pipeline_cross_framework_parity(image_seed, mode):
     final, reward, ep_len, _ = greedy_rollout(
         dt_apply, denoise, cfg, dt_params, env_state, bufs, action_dict,
         pred_rtg, MAXT)
+    return ref_x, ref_len, np.asarray(final.x[..., 0]), int(ep_len[0])
+
+
+@pytest.mark.parametrize("image_seed,mode",
+                         [(0, "norm"), (4, "norm"), (0, "flex")])
+def test_full_pipeline_cross_framework_parity(image_seed, mode):
+    gen = torch.Generator().manual_seed(0)
+    dt_sd = make_dt_state_dict(gen)
+    # Bias the stop logit low so episodes run full length — the sliding
+    # window and the t >= ctx index switch must be exercised cross-framework.
+    # The stop action's column differs by mode (T is column 0 in norm,
+    # column 2 in flex — decision_transformer.py:147-154).
+    stop_col = MODE_COLS[mode].index("T")
+    dt_sd["predict_action.0.bias"][stop_col] -= 4.0
+    unet_sd = random_unet_state_dict(seed=0)
+    mat = make_mat_record(seed=image_seed)
+
+    ref_x, ref_len, jax_x, jax_len = _run_both(
+        dt_sd, unet_sd, mat, 0.62, 3, mode)
 
     assert ref_len == MAXT  # full-length episode (stop logit biased low)
-    assert int(ep_len[0]) == ref_len
-    np.testing.assert_allclose(
-        np.asarray(final.x[..., 0]), ref_x, rtol=1e-3, atol=2e-4)
+    assert jax_len == ref_len
+    np.testing.assert_allclose(jax_x, ref_x, rtol=1e-3, atol=2e-4)
+
+
+# (stop_bias, weight_seed) pairs probed so the stop lands mid-episode:
+# (0.6, 2) stops at t=4 (before the ctx=6 window switch), (0.6, 0) at t=8
+# (after it).
+EARLY_STOP_CASES = [(0.6, 2), (0.6, 0)]
+
+
+@pytest.mark.parametrize("stop_bias,weight_seed", EARLY_STOP_CASES)
+def test_early_stop_cross_framework_parity(stop_bias, weight_seed):
+    """The T > 0.5 early-stop branch, cross-framework: the episode must end
+    at the same step in both frameworks and the frozen image must match
+    (reference early return, eval.py:202-214 + env.py:79-83). The bias
+    values are tuned so stops land mid-episode (1 < t < MAXT), exercising
+    buffer writes before the freeze."""
+    gen = torch.Generator().manual_seed(weight_seed)
+    dt_sd = make_dt_state_dict(gen)
+    dt_sd["predict_action.0.bias"][MODE_COLS["norm"].index("T")] += stop_bias
+    unet_sd = random_unet_state_dict(seed=0)
+    mat = make_mat_record(seed=1)
+
+    ref_x, ref_len, jax_x, jax_len = _run_both(
+        dt_sd, unet_sd, mat, 0.62, 3, "norm")
+
+    assert 1 < ref_len < MAXT, f"bias {stop_bias} no longer stops mid-episode"
+    assert jax_len == ref_len
+    np.testing.assert_allclose(jax_x, ref_x, rtol=1e-3, atol=2e-4)
