@@ -45,8 +45,10 @@ def main() -> None:
         out = []
         for i in range(n):
             mat = dict(make_mat_record(seed=i))
-            mat["x0"] = np.clip(mat["x0"], 0, None)
+            # Dataset semantics: policy state from the UNCLIPPED x0, env
+            # record clipped (datasets.py parity).
             states = mat["x0"][..., 0].reshape(1, -1).astype(np.float32)
+            mat["x0"] = np.clip(mat["x0"], 0, None)
             out.append(((states, np.full((1, 1), 0.6, np.float32),
                          np.zeros(3, np.float32),
                          np.asarray([2], np.int32)), mat))

@@ -4,12 +4,18 @@ Behavioral parity with /root/reference/evaluation/mcts.py, restructured
 TPU-first: the tree and its control flow stay on the host (tiny), while the
 expensive leaves batch onto the device —
 
-  * child expansion: the policy step + all 6 env steps (the model-action
-    step and the 5 sampled-parameter steps, mcts.py:114-140) run as ONE
-    batched ``admm_step`` call instead of 6 sequential U-Net/FFT passes;
+  * one fused device program per search iteration: the expansion policy
+    step, |Normal| child sampling (standard-normal draws pre-supplied from
+    the host RNG stream), all 6 env steps (the model-action step and the 5
+    sampled-parameter steps, mcts.py:114-140), the child buffer snapshot,
+    AND the full greedy rollout execute as a single dispatch with a single
+    result fetch — host<->device round-trips per iteration drop from ~5 to
+    1 (the wall-clock bound on high-RTT links);
   * rollouts: the greedy rollout from a node's depth reuses the single
     compiled masked scan (evaluator.greedy_rollout with traced start_time),
     so every node depth hits the same XLA program;
+  * N images' trees advance in lockstep (run = a batch of one), so all of
+    the above also amortizes across a directory's images;
   * value scoring: a pluggable no-reference IQA callable (ARNIQA port or
     proxy — models/arniqa.py), memoized per node like the reference's
     ``match_cached_program`` (mcts.py:146-151).
@@ -137,6 +143,19 @@ def sample_actions(rng: np.random.Generator, loc: float, std: float, n: int
     return fold_and_sort(raw, loc, std)
 
 
+def _fold_sort_jnp(raw: jnp.ndarray, loc: jnp.ndarray, std: float
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """In-jit :func:`fold_and_sort` over a (n_trees, k) batch of raw draws
+    with per-tree locs — the device half of the reference's
+    sample_action_dict (mcts.py:64-70)."""
+    samples = jnp.abs(raw)
+    z = (samples - loc[:, None]) / std
+    probs = jnp.exp(-0.5 * z * z) / (std * jnp.sqrt(2.0 * jnp.pi))
+    order = jnp.argsort(-probs, axis=-1, stable=True)
+    return (jnp.take_along_axis(samples, order, axis=-1),
+            jnp.take_along_axis(probs, order, axis=-1))
+
+
 def _index_state(state: CSMRIState, i: int) -> CSMRIState:
     return jax.tree.map(lambda x: x[i:i + 1], state)
 
@@ -239,6 +258,67 @@ class MCTS:
         self._child_bufs = jax.jit(
             lambda *a: child_bufs(self.dt_params, *a))
 
+        # The fused search iteration: ONE XLA program per PUCB iteration
+        # covering the expansion policy step, |Normal| sampling (locs from
+        # the in-flight policy output, standard-normal draws pre-supplied by
+        # the host RNG stream — they are loc-independent), the batched
+        # (children+1)-slot env step, the child buffer snapshot, and the
+        # full greedy rollout. The reference's run_beam_search re-predicts
+        # on buffers identical to the expansion's (mcts.py:104-111 vs
+        # :199-205 — same ancestry reconstruction, env stepping doesn't
+        # touch them), so one policy step serves both. Collapses the 4-5
+        # host<->device syncs per iteration (the wall-time bound over a
+        # ~60ms-RTT link) to one dispatch + one result fetch.
+        policy_step_fn = make_policy_step(self.dt_apply, cfg, dt_embed_apply)
+        k = self.cfg.n_children
+
+        def search_iter(params, bufs, t_vec, env_state, policy_rtg,
+                        z_sig, z_mu):
+            n = bufs.states.shape[0]
+            action_vec, action_dict, pred_rtg, bufs_upd = policy_step_fn(
+                params, bufs, t_vec)
+            loc_sig = action_dict["sigma_d"]
+            loc_mu = action_dict["mu"]
+            sig_samples, _ = _fold_sort_jnp(
+                loc_sig[:, None] + self.cfg.sigma_d_std * z_sig, loc_sig,
+                self.cfg.sigma_d_std)
+            # Child priors = the mu densities (reference overwrite,
+            # mcts.py:114-116).
+            mu_samples, probs = _fold_sort_jnp(
+                loc_mu[:, None] + self.cfg.mu_std * z_mu, loc_mu,
+                self.cfg.mu_std)
+
+            # One batched env step over all trees' (k+1) slots: slot 0 = the
+            # model action (-> policy_state), slots 1..k = sampled children.
+            tiled = jax.tree.map(
+                lambda x: jnp.repeat(x, k + 1, axis=0), env_state)
+            exp_action = {
+                "T": jnp.repeat(action_dict["T"], k + 1),
+                "sigma_d": jnp.concatenate(
+                    [loc_sig[:, None], sig_samples], axis=1).reshape(-1),
+                "mu": jnp.concatenate(
+                    [loc_mu[:, None], mu_samples], axis=1).reshape(-1),
+            }
+            stepped = admm_step(self.denoise, tiled, exp_action)
+            # done is transient (see expand_step above).
+            stepped = stepped.replace(done=jnp.zeros_like(stepped.done))
+            slot0 = jax.tree.map(
+                lambda x: x.reshape((n, k + 1) + x.shape[1:])[:, 0], stepped)
+            new_bufs = child_bufs(params, bufs_upd, t_vec + 1, slot0,
+                                  pred_rtg)
+
+            # Rollout from each leaf's depth (run_beam_search ->
+            # run_greedy(node.env_state, node.policy_rtg, node.time, ...),
+            # mcts.py:206).
+            final, _, ep_len, _ = greedy_rollout(
+                self.dt_apply, self.denoise, cfg, params, env_state,
+                bufs_upd, action_dict, policy_rtg, maxt, t_vec,
+                encode=encode, dt_embed_apply=dt_embed_apply)
+            return (action_vec, pred_rtg, probs, stepped, new_bufs,
+                    final.x[..., 0], ep_len)
+
+        self._search_iter = jax.jit(search_iter)
+
     # -- expansion (mcts.py:103-143) --------------------------------------
     def expand(self, node: Node, task: int, rng: np.random.Generator,
                index_tree: int) -> Tuple[Node, Dict[str, float], float]:
@@ -307,87 +387,32 @@ class MCTS:
 
     # -- driver (mcts.py:212-258) ------------------------------------------
     def run(self, record, seed: Optional[int] = None) -> float:
-        (states0, rtg0, _, task0), mat = record
-        task = int(np.asarray(task0).reshape(-1)[0])
-        rng = np.random.default_rng(
-            self.cfg.seed if seed is None else seed)
-
-        env_state = reset_from_mat(mat)
-        root = Node(time=0, prob=1.0, parent=None, edge=0, index=0,
-                    env_state=env_state, policy_state=env_state,
-                    policy_rtg=float(np.asarray(rtg0).reshape(-1)[0]))
-        root.bufs = self._seed_bufs(
-            jnp.asarray(states0).reshape(1, -1),
-            jnp.asarray(rtg0).reshape(()),
-            jnp.asarray(task0).reshape(-1)[:1])
-        root.s_visits = 1
-
-        program_rewards: Dict[str, float] = {}
-        program_states: Dict[str, np.ndarray] = {}
-
-        for i in range(self.cfg.iterations):
-            root.s_visits += 1
-            node = root
-            while node.children:
-                node = select_p_ucb(node)
-                node.s_visits += 1
-
-            node, _, _ = self.expand(node, task, rng, i)
-
-            rep = repr(node)
-            if rep in program_rewards:
-                reward = program_rewards[rep]
-            else:
-                reward, final_x, _ = self.beam_search(node, task)
-                program_rewards[rep] = reward
-                program_states[rep] = final_x
-            node.backprop(reward)
-
-        best_key = max(program_rewards, key=program_rewards.get)
-        best_state = program_states[best_key]
-        # Final score: PSNR of the best program's stored final image vs gt
-        # (mcts.py:165-192 — the reference passes (gt, state); PSNR's MSE is
-        # symmetric and both live in [0,1], so the order is immaterial).
-        gt = np.asarray(root.env_state.gt).reshape(1, *best_state.shape[-2:])
-        reward = float(psnr(jnp.asarray(gt), jnp.asarray(best_state))[0, 0])
-        print("MCTS Reward: ", reward)
-        return reward
-
-
-def _concat_pytrees(trees):
-    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *trees)
-
-
-def _index_pytree(tree, i: int):
-    return jax.tree.map(lambda x: x[i:i + 1], tree)
-
-
-class BatchedMCTS(MCTS):
-    """Tree search over a batch of images with lockstep device calls.
-
-    The reference (and :meth:`MCTS.run`) searches one image at a time
-    (main.py:236-240). Here N independent trees advance together: each
-    search iteration issues ONE batched policy step (per-tree times differ —
-    the policy windows are per-image gathers), ONE batched expansion env
-    step over all N*(children+1) slots, and ONE batched rollout with
-    per-tree start times — so DT/U-Net forwards, value scoring, and
-    host<->device round-trips amortize across images (the BASELINE.json
-    north-star restructuring).
-
-    Per-tree RNG streams match :meth:`MCTS.run` exactly, so a batched
-    search equals N sequential searches up to batching-induced float
-    reordering.
-    """
+        """Search one image (a batch-of-one lockstep run)."""
+        return self.run_batch(
+            [record],
+            seeds=[self.cfg.seed if seed is None else seed])[0]
 
     def run_batch(self, records, seeds=None) -> list:
+        """Advance N independent trees in lockstep with ONE fused device
+        program per search iteration (see ``search_iter`` above): selection
+        and tree bookkeeping stay on the host (tiny), everything else —
+        both DT forwards, sampling, the (children+1)-slot env step, buffer
+        snapshots, and the full greedy rollout — runs device-side, with a
+        single result fetch per iteration.
+
+        Per-tree RNG streams match a sequential per-image search exactly
+        (standard-normal draws are consumed in the same order), so a
+        batched search equals N sequential searches up to batching-induced
+        float reordering.
+        """
         n_trees = len(records)
         if seeds is None:
             seeds = [self.cfg.seed + i for i in range(n_trees)]
         rngs = [np.random.default_rng(s) for s in seeds]
 
         roots = []
-        rewards_dicts = []
-        states_dicts = []
+        rewards_dicts: List[Dict[str, float]] = []
+        states_dicts: List[Dict[str, np.ndarray]] = []
         for (states0, rtg0, _, task0), mat in records:
             env_state = reset_from_mat(mat)
             root = Node(time=0, prob=1.0, parent=None, edge=0, index=0,
@@ -414,71 +439,43 @@ class BatchedMCTS(MCTS):
                     node.s_visits += 1
                 leaves.append(node)
 
-            # EXPAND: one batched policy step at per-tree times.
+            # Pre-draw the loc-independent standard normals in the same
+            # order sample_actions consumes them: k sigma_d draws, then k
+            # mu draws, per tree.
+            z = np.stack([r.standard_normal(2 * k) for r in rngs])
+
+            # EXPAND + ROLLOUT: one fused dispatch.
             t_vec = jnp.asarray([n.time for n in leaves], jnp.int32)
-            bufs_b = _concat_pytrees([n.bufs for n in leaves])
-            action_vec, action_dict, pred_rtg, bufs_upd = self._policy_step(
-                self.dt_params, bufs_b, t_vec)
-            host = jax.device_get((action_vec, action_dict, pred_rtg))
-            action_vec_h, adict_h, pred_rtg_h = host
+            out = self._search_iter(
+                self.dt_params,
+                _concat_pytrees([n.bufs for n in leaves]),
+                t_vec,
+                _concat_pytrees([n.env_state for n in leaves]),
+                jnp.asarray([n.policy_rtg for n in leaves], jnp.float32),
+                jnp.asarray(z[:, :k], jnp.float32),
+                jnp.asarray(z[:, k:], jnp.float32))
+            (action_vec, pred_rtg, probs, stepped, child_bufs_b,
+             finals, ep_len) = out
+            # The iteration's single host sync.
+            action_vec_h, pred_rtg_h, probs_h, finals = jax.device_get(
+                (action_vec, pred_rtg, probs, finals))
 
-            # One batched env step over all trees' (children+1) slots.
-            batch_state = _concat_pytrees(
-                [_tile_state(n.env_state, k + 1) for n in leaves])
-            t_act = np.empty((n_trees, k + 1), np.float32)
-            sig_act = np.empty((n_trees, k + 1), np.float32)
-            mu_act = np.empty((n_trees, k + 1), np.float32)
-            probs_all = []
-            for j, node in enumerate(leaves):
-                # Priors = the MU densities (reference overwrite,
-                # mcts.py:114-116) — see MCTS.expand.
-                sigma_d, _ = sample_actions(
-                    rngs[j], float(adict_h["sigma_d"][j]),
-                    self.cfg.sigma_d_std, k)
-                mu, probs = sample_actions(
-                    rngs[j], float(adict_h["mu"][j]), self.cfg.mu_std, k)
-                t_act[j] = adict_h["T"][j]
-                sig_act[j] = np.concatenate([[adict_h["sigma_d"][j]],
-                                             sigma_d])
-                mu_act[j] = np.concatenate([[adict_h["mu"][j]], mu])
-                probs_all.append(probs)
-            stepped = self._expand_step(batch_state, {
-                "T": t_act.reshape(-1), "sigma_d": sig_act.reshape(-1),
-                "mu": mu_act.reshape(-1)})
-
-            # Children: shared per-tree buffer snapshot at slot time+1.
-            slot0 = jax.tree.map(
-                lambda x: x.reshape((n_trees, k + 1) + x.shape[1:])[:, 0],
-                stepped)
-            child_bufs_b = self._child_bufs(
-                bufs_upd, t_vec + 1, slot0, pred_rtg)
             for j, node in enumerate(leaves):
                 node.action = np.asarray(action_vec_h[j])
-                node.set_policy_state(_index_pytree(slot0, j))
+                node.set_policy_state(jax.tree.map(
+                    lambda x: x[j * (k + 1):j * (k + 1) + 1], stepped))
                 shared = _index_pytree(child_bufs_b, j)
                 for c in range(k):
+                    lo = j * (k + 1) + c + 1
                     child = Node(
-                        time=node.time + 1, prob=float(probs_all[j][c]),
+                        time=node.time + 1, prob=float(probs_h[j, c]),
                         parent=node, edge=c, index=i,
                         env_state=jax.tree.map(
-                            lambda x: x[j * (k + 1) + c + 1:
-                                        j * (k + 1) + c + 2], stepped),
+                            lambda x: x[lo:lo + 1], stepped),
                         policy_state=node.policy_state,
                         policy_rtg=float(pred_rtg_h[j]))
                     child.bufs = shared
                     node.children.append(child)
-
-            # ROLLOUT: one batched greedy rollout from per-tree depths.
-            _, ro_dict, _, ro_bufs = self._policy_step(
-                self.dt_params, _concat_pytrees([n.bufs for n in leaves]),
-                t_vec)
-            final, _, ep_len, _ = self._rollout(
-                self.dt_params,
-                _concat_pytrees([n.env_state for n in leaves]),
-                ro_bufs, ro_dict,
-                jnp.asarray([n.policy_rtg for n in leaves], jnp.float32),
-                t_vec)
-            finals = np.asarray(final.x[..., 0])
 
             for j, node in enumerate(leaves):
                 rep = repr(node)
@@ -495,6 +492,10 @@ class BatchedMCTS(MCTS):
         for j, root in enumerate(roots):
             best_key = max(rewards_dicts[j], key=rewards_dicts[j].get)
             best_state = states_dicts[j][best_key]
+            # Final score: PSNR of the best program's stored final image vs
+            # gt (mcts.py:165-192 — the reference passes (gt, state); PSNR's
+            # MSE is symmetric and both live in [0,1], so the order is
+            # immaterial).
             gt = np.asarray(root.env_state.gt).reshape(
                 1, *best_state.shape[-2:])
             reward = float(psnr(jnp.asarray(gt),
@@ -502,6 +503,23 @@ class BatchedMCTS(MCTS):
             print("MCTS Reward: ", reward)
             out.append(reward)
         return out
+
+
+def _concat_pytrees(trees):
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *trees)
+
+
+def _index_pytree(tree, i: int):
+    return jax.tree.map(lambda x: x[i:i + 1], tree)
+
+
+class BatchedMCTS(MCTS):
+    """Alias kept for the CLI/API surface: all of :class:`MCTS` is lockstep-
+    batched now (run = a batch of one). The reference (main.py:236-240)
+    searches one image at a time; ``run_batch`` advances a directory's trees
+    together so DT/U-Net forwards, env steps, rollouts, and host<->device
+    round-trips amortize across images (the BASELINE.json north-star
+    restructuring)."""
 
 
 def run_mcts(mcts: MCTS, record, seed: Optional[int] = None) -> float:
