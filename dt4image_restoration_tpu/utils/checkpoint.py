@@ -50,9 +50,15 @@ def convert_unet_state_dict(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
       up{k}.conv.conv-{i}.conv2d.{weight,bias}
       outc.conv.{weight,bias}
     A leading ``net.`` prefix (full UNetDenoiser2D dicts) is accepted.
+
+    STRICT: raises ``ValueError`` on unrecognized, unconsumed, or missing
+    keys, so naming drift in a published checkpoint fails loudly instead of
+    silently mis-loading (first contact with the real files happens outside
+    this environment — the download is gated).
     """
     sd = {k.removeprefix("net."): v for k, v in state_dict.items()}
     net: Dict[str, Any] = {}
+    consumed = set()
 
     def put(block: str, conv: str, w, b):
         net.setdefault(block, {})[conv] = {
@@ -61,9 +67,13 @@ def convert_unet_state_dict(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
     for key, w in sd.items():
         if not key.endswith(".weight"):
             continue
-        b = sd[key[:-len(".weight")] + ".bias"]
-        if key.startswith("outc."):
+        bias_key = key[:-len(".weight")] + ".bias"
+        if bias_key not in sd:
+            raise ValueError(f"UNet checkpoint missing bias for: {key}")
+        b = sd[bias_key]
+        if key == "outc.conv.weight":
             put("outc_parent", "outc", w, b)  # placeholder, fixed below
+            consumed.update((key, bias_key))
             continue
         m = re.match(
             r"(inc|down\d|up\d)\.(?:conv|mpconv\.1)\.conv-(\d)\.conv2d\.weight",
@@ -71,6 +81,18 @@ def convert_unet_state_dict(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
         if m is None:
             raise ValueError(f"unrecognized UNet checkpoint key: {key}")
         put(m.group(1), f"conv{m.group(2)}", w, b)
+        consumed.update((key, bias_key))
+
+    leftover = sorted(set(sd) - consumed)
+    if leftover:
+        raise ValueError(f"unconsumed UNet checkpoint keys: {leftover}")
+    if "outc_parent" not in net:
+        raise ValueError("UNet checkpoint missing outc.conv.{weight,bias}")
+    expected = {"inc", "down1", "down2", "down3", "down4",
+                "up1", "up2", "up3", "up4", "outc_parent"}
+    missing = sorted(expected - set(net))
+    if missing:
+        raise ValueError(f"UNet checkpoint missing blocks: {missing}")
 
     outc = net.pop("outc_parent")["outc"]
     net["outc"] = outc
@@ -105,62 +127,85 @@ def convert_dt_state_dict(state_dict: Mapping[str, Any],
     The state-encoder Linear consumes a torch C-major flatten of a
     (C, H, W) = (16, 12, 12) activation; our NHWC flatten is (H, W, C), so
     that kernel's input axis is permuted accordingly.
+
+    STRICT: raises ``ValueError`` on missing keys and on unconsumed keys
+    (tolerating only the causal-mask ``masking`` buffers torch registers in
+    each attention block, decision_transformer.py:44-48), so naming drift
+    in a published checkpoint fails loudly instead of silently mis-loading.
     """
     sd = dict(state_dict)
+    consumed = set()
+
+    def take(key: str):
+        if key not in sd:
+            raise ValueError(f"DT checkpoint missing key: {key}")
+        consumed.add(key)
+        return sd[key]
+
     p: Dict[str, Any] = {}
 
-    p["time_embed"] = {"embedding": _np(sd["time_embed.weight"])}
-    p["task_embed"] = {"embedding": _np(sd["task_embed.weight"])}
-    p["embed_action"] = {"kernel": _linear_kernel(sd["embed_action.0.weight"]),
-                         "bias": _np(sd["embed_action.0.bias"])}
-    p["embed_return"] = {"kernel": _linear_kernel(sd["embed_return.0.weight"]),
-                         "bias": _np(sd["embed_return.0.bias"])}
+    p["time_embed"] = {"embedding": _np(take("time_embed.weight"))}
+    p["task_embed"] = {"embedding": _np(take("task_embed.weight"))}
+    p["embed_action"] = {
+        "kernel": _linear_kernel(take("embed_action.0.weight")),
+        "bias": _np(take("embed_action.0.bias"))}
+    p["embed_return"] = {
+        "kernel": _linear_kernel(take("embed_return.0.weight")),
+        "bias": _np(take("embed_return.0.bias"))}
 
     enc = {}
     for i, torch_idx in enumerate((0, 2, 4)):
         enc[f"conv{i}"] = {
-            "kernel": _conv_kernel(sd[f"state_encoder.{torch_idx}.weight"]),
-            "bias": _np(sd[f"state_encoder.{torch_idx}.bias"])}
+            "kernel": _conv_kernel(take(f"state_encoder.{torch_idx}.weight")),
+            "bias": _np(take(f"state_encoder.{torch_idx}.bias"))}
     # Permute the flatten-order-sensitive Linear: torch input index is
     # c*H*W + h*W + w; ours is h*W*C + w*C + c.
-    w = _linear_kernel(sd["state_encoder.7.weight"])  # (2304, E)
+    w = _linear_kernel(take("state_encoder.7.weight"))  # (2304, E)
     hw, ch = state_conv_hw, state_conv_ch
     w = w.reshape(ch, hw, hw, -1).transpose(1, 2, 0, 3).reshape(
         hw * hw * ch, -1)
-    enc["dense"] = {"kernel": w, "bias": _np(sd["state_encoder.7.bias"])}
+    enc["dense"] = {"kernel": w, "bias": _np(take("state_encoder.7.bias"))}
     p["state_encoder"] = enc
 
-    n_blocks = 1 + max(
-        int(m.group(1)) for k in sd
-        if (m := re.match(r"transformer\.(\d+)\.", k)))
+    block_ids = {int(m.group(1)) for k in sd
+                 if (m := re.match(r"transformer\.(\d+)\.", k))}
+    if not block_ids:
+        raise ValueError("DT checkpoint has no transformer.* blocks")
+    n_blocks = 1 + max(block_ids)
     for i in range(n_blocks):
         t = f"transformer.{i}."
         p[f"block{i}"] = {
-            "ln1": {"scale": _np(sd[t + "ln1.weight"]),
-                    "bias": _np(sd[t + "ln1.bias"])},
-            "ln2": {"scale": _np(sd[t + "ln2.weight"]),
-                    "bias": _np(sd[t + "ln2.bias"])},
+            "ln1": {"scale": _np(take(t + "ln1.weight")),
+                    "bias": _np(take(t + "ln1.bias"))},
+            "ln2": {"scale": _np(take(t + "ln2.weight")),
+                    "bias": _np(take(t + "ln2.bias"))},
             "attn": {
                 "qkv_proj": {
-                    "kernel": _linear_kernel(sd[t + "c_att.qkv_proj.weight"]),
-                    "bias": _np(sd[t + "c_att.qkv_proj.bias"])},
+                    "kernel": _linear_kernel(take(t + "c_att.qkv_proj.weight")),
+                    "bias": _np(take(t + "c_att.qkv_proj.bias"))},
                 "o_proj": {
-                    "kernel": _linear_kernel(sd[t + "c_att.o_proj.weight"]),
-                    "bias": _np(sd[t + "c_att.o_proj.bias"])},
+                    "kernel": _linear_kernel(take(t + "c_att.o_proj.weight")),
+                    "bias": _np(take(t + "c_att.o_proj.bias"))},
             },
-            "fc": {"kernel": _linear_kernel(sd[t + "mlp.fc.weight"]),
-                   "bias": _np(sd[t + "mlp.fc.bias"])},
-            "fc_proj": {"kernel": _linear_kernel(sd[t + "mlp.fc_proj.weight"]),
-                        "bias": _np(sd[t + "mlp.fc_proj.bias"])},
+            "fc": {"kernel": _linear_kernel(take(t + "mlp.fc.weight")),
+                   "bias": _np(take(t + "mlp.fc.bias"))},
+            "fc_proj": {"kernel": _linear_kernel(take(t + "mlp.fc_proj.weight")),
+                        "bias": _np(take(t + "mlp.fc_proj.bias"))},
         }
 
-    p["layer_n"] = {"scale": _np(sd["layer_n.weight"]),
-                    "bias": _np(sd["layer_n.bias"])}
+    p["layer_n"] = {"scale": _np(take("layer_n.weight")),
+                    "bias": _np(take("layer_n.bias"))}
     p["predict_action"] = {
-        "kernel": _linear_kernel(sd["predict_action.0.weight"]),
-        "bias": _np(sd["predict_action.0.bias"])}
-    p["predict_rtg"] = {"kernel": _linear_kernel(sd["predict_rtg.weight"]),
-                        "bias": _np(sd["predict_rtg.bias"])}
+        "kernel": _linear_kernel(take("predict_action.0.weight")),
+        "bias": _np(take("predict_action.0.bias"))}
+    p["predict_rtg"] = {"kernel": _linear_kernel(take("predict_rtg.weight")),
+                        "bias": _np(take("predict_rtg.bias"))}
+
+    leftover = sorted(
+        k for k in set(sd) - consumed
+        if not re.fullmatch(r"transformer\.\d+\.c_att\.masking", k))
+    if leftover:
+        raise ValueError(f"unconsumed DT checkpoint keys: {leftover}")
     return p
 
 

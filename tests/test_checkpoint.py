@@ -73,3 +73,95 @@ def test_load_unet_pt_checkpoint(tmp_path):
     torch.save(sd, pt)
     params = load_unet_checkpoint(str(pt))
     assert params["net"]["outc"]["kernel"].shape == (1, 1, 32, 1)
+
+
+# --- converter strictness: first contact with the real published files
+# must fail loudly on any naming drift, never silently mis-load -----------
+
+def _dt_sd():
+    from tests.test_dt import make_dt_state_dict
+    return make_dt_state_dict(torch.Generator().manual_seed(0))
+
+
+def _unet_sd():
+    from tests.test_unet import make_unet_state_dict
+    return make_unet_state_dict(torch.Generator().manual_seed(0))
+
+
+def test_dt_converter_rejects_extra_key():
+    from dt4image_restoration_tpu.utils.checkpoint import (
+        convert_dt_state_dict)
+    sd = _dt_sd()
+    sd["mystery.weight"] = torch.zeros(3)
+    with pytest.raises(ValueError, match="unconsumed"):
+        convert_dt_state_dict(sd)
+
+
+def test_dt_converter_rejects_missing_key():
+    from dt4image_restoration_tpu.utils.checkpoint import (
+        convert_dt_state_dict)
+    sd = _dt_sd()
+    del sd["predict_rtg.weight"]
+    with pytest.raises(ValueError, match="missing key: predict_rtg.weight"):
+        convert_dt_state_dict(sd)
+
+
+def test_dt_converter_rejects_renamed_key():
+    from dt4image_restoration_tpu.utils.checkpoint import (
+        convert_dt_state_dict)
+    sd = _dt_sd()
+    sd["transformer.0.c_att.qkv.weight"] = sd.pop(
+        "transformer.0.c_att.qkv_proj.weight")
+    with pytest.raises(ValueError, match="missing key"):
+        convert_dt_state_dict(sd)
+
+
+def test_dt_converter_tolerates_masking_buffers():
+    """torch registers the causal tril mask as a buffer in every attention
+    block (decision_transformer.py:44-48); real state dicts include it."""
+    from dt4image_restoration_tpu.utils.checkpoint import (
+        convert_dt_state_dict)
+    sd = _dt_sd()
+    for i in range(5):
+        sd[f"transformer.{i}.c_att.masking"] = torch.tril(
+            torch.ones(1, 1, 18, 18))
+    params = convert_dt_state_dict(sd)
+    assert "block4" in params
+
+
+def test_unet_converter_rejects_extra_key():
+    from dt4image_restoration_tpu.utils.checkpoint import (
+        convert_unet_state_dict)
+    sd = _unet_sd()
+    sd["stray.tensor"] = torch.zeros(2)
+    with pytest.raises(ValueError, match="unconsumed"):
+        convert_unet_state_dict(sd)
+
+
+def test_unet_converter_rejects_missing_bias():
+    from dt4image_restoration_tpu.utils.checkpoint import (
+        convert_unet_state_dict)
+    sd = _unet_sd()
+    del sd["inc.conv.conv-0.conv2d.bias"]
+    with pytest.raises(ValueError, match="missing bias"):
+        convert_unet_state_dict(sd)
+
+
+def test_unet_converter_rejects_missing_block():
+    from dt4image_restoration_tpu.utils.checkpoint import (
+        convert_unet_state_dict)
+    sd = {k: v for k, v in _unet_sd().items() if not k.startswith("down4.")}
+    with pytest.raises(ValueError, match="missing blocks.*down4"):
+        convert_unet_state_dict(sd)
+
+
+def test_unet_converter_rejects_renamed_key():
+    from dt4image_restoration_tpu.utils.checkpoint import (
+        convert_unet_state_dict)
+    sd = _unet_sd()
+    sd["inc.conv.block-0.conv2d.weight"] = sd.pop(
+        "inc.conv.conv-0.conv2d.weight")
+    sd["inc.conv.block-0.conv2d.bias"] = sd.pop(
+        "inc.conv.conv-0.conv2d.bias")
+    with pytest.raises(ValueError, match="unrecognized"):
+        convert_unet_state_dict(sd)
