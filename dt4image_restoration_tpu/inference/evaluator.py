@@ -22,6 +22,7 @@ Replicated reference quirks (load-bearing for output parity):
 """
 from __future__ import annotations
 
+import collections
 import dataclasses
 import time as _time
 from typing import Any, Callable, Dict, Optional, Sequence, Tuple
@@ -273,7 +274,10 @@ class Evaluator:
     # Process-wide compiled-program cache: evaluators over the same model,
     # denoiser, config, and horizon share one XLA program (flex mode builds
     # 5 evaluators for 5 RTG targets, main.py:200-203 — identical programs).
-    _GLOBAL_PROGRAMS = {}
+    # LRU-bounded so a long-lived server churning configs can't grow it
+    # monotonically (each entry pins its callables + compiled program).
+    _GLOBAL_PROGRAMS = collections.OrderedDict()
+    _MAX_PROGRAMS = 8
 
     def __post_init__(self):
         cfg = self.cfg
@@ -283,6 +287,7 @@ class Evaluator:
         if cached is not None:
             # The cache entry pins the keyed callables, so an id() can never
             # be recycled by the GC onto a different function while cached.
+            Evaluator._GLOBAL_PROGRAMS.move_to_end(key)
             _, _, self._run_batch = cached
             return
 
@@ -306,6 +311,8 @@ class Evaluator:
         self._run_batch = jax.jit(run)
         Evaluator._GLOBAL_PROGRAMS[key] = (self.dt_apply, self.denoise,
                                            self._run_batch)
+        while len(Evaluator._GLOBAL_PROGRAMS) > Evaluator._MAX_PROGRAMS:
+            Evaluator._GLOBAL_PROGRAMS.popitem(last=False)
 
     def evaluate_records(self, records: Sequence[Tuple[Any, Any]]):
         """Evaluate a list of ``((states, rtg, actions, task), mat)`` items

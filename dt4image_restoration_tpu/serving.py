@@ -98,7 +98,11 @@ class RestorationService:
 
     # -- public API --------------------------------------------------------
     def submit(self, request: RestorationRequest) -> "Future":
-        """Enqueue one slice; returns a Future[RestorationResult]."""
+        """Enqueue one slice; returns a Future[RestorationResult].
+        Raises ``RuntimeError`` after :meth:`close` — nothing would ever
+        drain the queue."""
+        if self._stop.is_set():
+            raise RuntimeError("RestorationService is closed")
         fut: Future = Future()
         self._queue.put((request, fut))
         return fut
@@ -110,7 +114,11 @@ class RestorationService:
 
     def close(self) -> None:
         self._stop.set()
-        self._worker.join(timeout=5)
+        # The worker drains at most one batch past the stop flag; wait for
+        # it without a timeout so a mid-batch device call can't leak a
+        # half-processed queue (joining a daemon thread is bounded by the
+        # batch wall time).
+        self._worker.join()
         # Cancel anything still queued so callers don't block forever.
         while True:
             try:
@@ -168,8 +176,11 @@ class RestorationService:
         env_state = reset_from_mat(mats)
 
         if self.mode == "policy":
+            # Policy initial observation reads the UNCLIPPED x0, matching
+            # the eval dataset path (reference datasets.py:160-164: the clip
+            # rebinds only the env record, not the states source).
             policy_x0 = jnp.asarray(np.stack(
-                [np.clip(np.asarray(r.mat["x0"], np.float32), 0, None)
+                [np.asarray(r.mat["x0"], np.float32)
                  [..., 0].reshape(-1) for r in padded]))
             rtg0 = jnp.asarray([r.rtg for r in padded], jnp.float32)
             task = jnp.asarray([r.task for r in padded], jnp.int32)

@@ -201,6 +201,22 @@ def test_fused_decode_drop_in_policy(params):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_program_cache_bounded(params):
+    """Churning evaluator configs must not grow the process-wide compiled-
+    program cache beyond its LRU cap (jit is lazy, so construction alone
+    is cheap)."""
+    cap = Evaluator._MAX_PROGRAMS
+    for horizon in range(10, 10 + cap + 5):
+        Evaluator(dt_apply=dt_apply, dt_params=params,
+                  denoise=stub_denoise, cfg=CFG, max_timesteps=horizon)
+    assert len(Evaluator._GLOBAL_PROGRAMS) <= cap
+    # Re-requesting the most recent config hits the cache (no growth).
+    n = len(Evaluator._GLOBAL_PROGRAMS)
+    Evaluator(dt_apply=dt_apply, dt_params=params, denoise=stub_denoise,
+              cfg=CFG, max_timesteps=10 + cap + 4)
+    assert len(Evaluator._GLOBAL_PROGRAMS) == n
+
+
 def test_evaluator_end_to_end(tmp_path, params):
     """Evaluator.run over a synthetic .mat directory prints aggregates and
     returns a finite increment."""

@@ -92,6 +92,15 @@ def test_service_without_ground_truth():
     assert res.image.shape == (128, 128)
 
 
+def test_submit_after_close_raises():
+    svc = RestorationService(denoise=lambda img, sig: jnp.clip(img, 0, 1),
+                             mode="fixed", batch_size=2, max_timesteps=4)
+    svc.close()
+    import pytest
+    with pytest.raises(RuntimeError, match="closed"):
+        svc.submit(RestorationRequest(mat=make_mat_record(seed=0)))
+
+
 def test_concurrent_submissions(params):
     import threading
     svc = RestorationService(denoise=stub_denoise, cfg=CFG,
