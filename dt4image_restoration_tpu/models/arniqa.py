@@ -37,25 +37,32 @@ class Bottleneck(nn.Module):
     features: int
     strides: int = 1
     downsample: bool = False
+    dtype: Any = jnp.float32  # compute dtype (params stay float32) — the
+    # AMP policy mirroring the reference's autocast around ARNIQA (env.py:52)
 
     @nn.compact
     def __call__(self, x):
         residual = x
-        y = nn.Conv(self.features, (1, 1), use_bias=False, name="conv1")(x)
-        y = nn.BatchNorm(use_running_average=True, name="bn1")(y)
+        y = nn.Conv(self.features, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=True, dtype=self.dtype,
+                         name="bn1")(y)
         y = jax.nn.relu(y)
         y = nn.Conv(self.features, (3, 3), strides=self.strides, padding=1,
-                    use_bias=False, name="conv2")(y)
-        y = nn.BatchNorm(use_running_average=True, name="bn2")(y)
+                    use_bias=False, dtype=self.dtype, name="conv2")(y)
+        y = nn.BatchNorm(use_running_average=True, dtype=self.dtype,
+                         name="bn2")(y)
         y = jax.nn.relu(y)
         y = nn.Conv(4 * self.features, (1, 1), use_bias=False,
-                    name="conv3")(y)
-        y = nn.BatchNorm(use_running_average=True, name="bn3")(y)
+                    dtype=self.dtype, name="conv3")(y)
+        y = nn.BatchNorm(use_running_average=True, dtype=self.dtype,
+                         name="bn3")(y)
         if self.downsample:
             residual = nn.Conv(4 * self.features, (1, 1),
                                strides=self.strides, use_bias=False,
-                               name="ds_conv")(x)
+                               dtype=self.dtype, name="ds_conv")(x)
             residual = nn.BatchNorm(use_running_average=True,
+                                    dtype=self.dtype,
                                     name="ds_bn")(residual)
         return jax.nn.relu(y + residual)
 
@@ -64,12 +71,14 @@ class ResNet50(nn.Module):
     """torchvision-layout ResNet-50 feature extractor (global-pool output,
     2048-dim)."""
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
-                    name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=True, name="bn1")(x)
+                    dtype=self.dtype, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=True, dtype=self.dtype,
+                         name="bn1")(x)
         x = jax.nn.relu(x)
         x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
                     constant_values=-jnp.inf)
@@ -79,18 +88,20 @@ class ResNet50(nn.Module):
             for block in range(n_blocks):
                 strides = 2 if stage > 0 and block == 0 else 1
                 x = Bottleneck(feats, strides=strides,
-                               downsample=block == 0,
+                               downsample=block == 0, dtype=self.dtype,
                                name=f"layer{stage + 1}_{block}")(x)
-        return jnp.mean(x, axis=(1, 2))  # global average pool -> (B, 2048)
+        # Pool in float32: the 2048-dim feature norm drives the regressor.
+        return jnp.mean(x.astype(jnp.float32), axis=(1, 2))
 
 
 class ARNIQA(nn.Module):
     """Encoder on full + half scale, concat, linear regressor."""
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, img: jnp.ndarray, img_ds: jnp.ndarray,
                  scale_score: bool = True):
-        encoder = ResNet50(name="encoder")
+        encoder = ResNet50(dtype=self.dtype, name="encoder")
         f = jnp.concatenate([encoder(img), encoder(img_ds)], axis=-1)
         f = f / jnp.maximum(jnp.linalg.norm(f, axis=-1, keepdims=True),
                             1e-12)
@@ -153,10 +164,13 @@ def convert_arniqa_state_dict(state_dict: Mapping[str, Any],
 
 
 def make_value_fn(variables: Dict[str, Any],
-                  image_size: int = 128) -> Callable[[np.ndarray], float]:
+                  image_size: int = 128,
+                  dtype: Any = jnp.float32
+                  ) -> Callable[[np.ndarray], float]:
     """The env.py:42-54 ARNIQA scoring wrapper: greyscale image (1, H, W) ->
-    zero-padded 'RGB' at full + half scale -> score."""
-    model = ARNIQA()
+    zero-padded 'RGB' at full + half scale -> score. ``dtype=jnp.bfloat16``
+    mirrors the reference's autocast around ARNIQA (env.py:52)."""
+    model = ARNIQA(dtype=dtype)
 
     @jax.jit
     def score(x):  # x: (1, H, W) float in [0, 1]

@@ -35,11 +35,13 @@ EVAL_DIRS_6 = EVAL_DIRS_9[:6]
 FLEX_RTGS = [1.5, 3, 3.5, 4, 4.5]  # main.py:198
 
 
-def _load_denoiser(path: str):
+def _load_denoiser(path: str, dtype: str = "float32"):
+    import jax.numpy as jnp
     from dt4image_restoration_tpu.models import UNetDenoiser
     from dt4image_restoration_tpu.utils.checkpoint import (
         load_unet_checkpoint, restore_checkpoint)
-    model = UNetDenoiser()
+    model = UNetDenoiser(
+        dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32)
     if os.path.isdir(path):
         params = restore_checkpoint(path)
     elif os.path.exists(path):
@@ -143,9 +145,9 @@ def _make_evaluator(args, mode: str, ckpt: str, rtg_target, eval_type):
     from dt4image_restoration_tpu.inference import Evaluator
     rtg_target = float(rtg_target)  # validate before any model loading
     cfg = ModelConfig(block_size=args.block_size, n_embeds=args.n_embeds,
-                      mode=mode)
+                      mode=mode, dtype=args.dtype)
     dt_apply, dt_params = _load_dt(cfg, ckpt)
-    denoise = _load_denoiser(args.denoiser_ckpt)
+    denoise = _load_denoiser(args.denoiser_ckpt, args.dtype)
     return Evaluator(dt_apply=dt_apply, dt_params=dt_params,
                      denoise=denoise, cfg=cfg,
                      max_timesteps=args.max_timesteps or 30,
@@ -167,9 +169,9 @@ def cmd_flex(args) -> None:
     # Load the model/denoiser once; the 5 RTG-target evaluators share one
     # compiled program (reference reloads per target, main.py:200-203).
     cfg = ModelConfig(block_size=args.block_size, n_embeds=args.n_embeds,
-                      mode="flex")
+                      mode="flex", dtype=args.dtype)
     dt_apply, dt_params = _load_dt(cfg, args.checkpoint)
-    denoise = _load_denoiser(args.denoiser_ckpt)
+    denoise = _load_denoiser(args.denoiser_ckpt, args.dtype)
     for rtg in FLEX_RTGS:
         evaluator = Evaluator(
             dt_apply=dt_apply, dt_params=dt_params, denoise=denoise,
@@ -188,16 +190,21 @@ def cmd_mcts(args) -> None:
     rtg_target = float(args.rtg)  # validate before any model loading
 
     cfg = ModelConfig(block_size=args.block_size, n_embeds=args.n_embeds,
-                      mode="norm")
+                      mode="norm", dtype=args.dtype)
     dt_apply, dt_params = _load_dt(cfg, args.checkpoint)
-    denoise = _load_denoiser(args.denoiser_ckpt)
+    denoise = _load_denoiser(args.denoiser_ckpt, args.dtype)
 
     if args.arniqa_ckpt and os.path.exists(args.arniqa_ckpt):
+        import jax.numpy as jnp
         import torch
         from dt4image_restoration_tpu.models.arniqa import (
             convert_arniqa_state_dict, make_value_fn)
-        value_fn = make_value_fn(convert_arniqa_state_dict(
-            torch.load(args.arniqa_ckpt, map_location="cpu")))
+        # The reference's autocast ctx also wraps ARNIQA scoring (env.py:52).
+        value_fn = make_value_fn(
+            convert_arniqa_state_dict(
+                torch.load(args.arniqa_ckpt, map_location="cpu")),
+            dtype=jnp.bfloat16 if args.dtype == "bfloat16"
+            else jnp.float32)
     else:
         from dt4image_restoration_tpu.models.arniqa import proxy_value_fn
         print("WARNING: no ARNIQA checkpoint; using the documented no-ref "
@@ -263,6 +270,11 @@ def build_parser() -> argparse.ArgumentParser:
         s.add_argument("--denoiser_ckpt",
                        default="evaluation/pretrained/unet-nm.pt")
         s.add_argument("--data_dirs", nargs="*", default=None)
+        s.add_argument("--dtype", default="float32",
+                       choices=["float32", "bfloat16"],
+                       help="compute dtype for the DT, denoiser, and "
+                            "value model (the reference's autocast policy, "
+                            "main.py:37-40, env.py:52)")
         if name == "mcts":
             s.add_argument("--seed", type=int, default=0)
             s.add_argument("--arniqa_ckpt", default=None)

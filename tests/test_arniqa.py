@@ -133,6 +133,21 @@ def test_value_fn_wrapper(hub_like_state_dict):
     assert isinstance(s, float) and np.isfinite(s)
 
 
+def test_value_fn_bf16_close_to_f32(hub_like_state_dict):
+    """bf16 scoring (the reference's autocast around ARNIQA, env.py:52)
+    stays close to f32 — ranking-level agreement is what MCTS needs."""
+    import jax.numpy as jnp
+    _, full = hub_like_state_dict
+    variables = convert_arniqa_state_dict(full)
+    f32 = make_value_fn(variables)
+    bf16 = make_value_fn(variables, dtype=jnp.bfloat16)
+    x = np.random.default_rng(0).uniform(0, 1, (1, 128, 128)).astype(
+        np.float32)
+    a, b = f32(x), bf16(x)
+    assert np.isfinite(b)
+    assert abs(a - b) < 0.05 * max(1.0, abs(a))
+
+
 def test_proxy_value_prefers_clean_over_noisy():
     from dt4image_restoration_tpu.data import shepp_logan
     clean = shepp_logan(128)[None]

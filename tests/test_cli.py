@@ -56,6 +56,20 @@ def test_cli_eval_smoke(eval_dir, capsys):
     assert "Average reward" in out and "PSNR increment" in out
 
 
+def test_cli_eval_bf16_smoke(eval_dir, capsys):
+    """--dtype bfloat16 on eval (the reference's autocast policy applied to
+    inference, main.py:37-40); rollouts stay within tolerance of f32 per
+    the bench (0.0066 dB)."""
+    cli.main(["--block_size", "18", "--n_embeds", "9", "eval",
+              "--rtg", "10", "--max_timesteps", "8",
+              "--checkpoint", "/nonexistent.pt",
+              "--denoiser_ckpt", "/nonexistent.pt",
+              "--dtype", "bfloat16",
+              "--data_dirs", eval_dir])
+    out = capsys.readouterr().out
+    assert "Average reward" in out
+
+
 def test_cli_mcts_smoke(eval_dir, capsys, monkeypatch):
     # Shrink the search so the smoke test stays fast (cmd_mcts imports
     # MCTSConfig from the config module at call time).
