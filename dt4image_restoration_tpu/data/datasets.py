@@ -137,14 +137,24 @@ class TrainingDataset:
 
     def batches(self, batch_size: int, shuffle: bool = True,
                 drop_remainder: bool = True,
-                seed: Optional[int] = None
+                seed: Optional[int] = None,
+                shard_index: int = 0, num_shards: int = 1
                 ) -> Iterator[Dict[str, np.ndarray]]:
         """Host-side batch iterator producing stacked numpy dicts ready for
         device sharding (the lawful JAX analogue of DataLoader +
-        DistributedSampler, main.py:55-69)."""
+        DistributedSampler, main.py:55-69).
+
+        ``shard_index``/``num_shards`` give per-process input sharding on a
+        multi-host run (DistributedSampler's rank/world_size, main.py:62):
+        every process shuffles with the same seed, takes a strided slice of
+        the permutation, and yields ``batch_size`` items — its share of a
+        ``batch_size * num_shards`` global batch. Deviation from the
+        reference noted in PARITY.md D8: shuffle defaults ON here.
+        """
         order = np.arange(len(self))
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
+        order = order[shard_index::num_shards]
         n = len(order) - (len(order) % batch_size if drop_remainder else 0)
         for i in range(0, n, batch_size):
             idx = order[i:i + batch_size]

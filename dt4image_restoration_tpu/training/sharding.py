@@ -37,20 +37,53 @@ BATCH_AXES = {
 }
 
 
+# Environment markers that identify a multi-host cluster whose topology
+# jax.distributed.initialize() can auto-detect with no arguments (TPU pod
+# metadata, GKE megascale, Slurm, Open MPI).
+_CLUSTER_ENV_MARKERS = (
+    "TPU_WORKER_HOSTNAMES", "TPU_WORKER_ID", "CLOUD_TPU_TASK_ID",
+    "MEGASCALE_COORDINATOR_ADDRESS", "SLURM_JOB_ID", "OMPI_COMM_WORLD_SIZE",
+)
+
+
 def maybe_initialize_distributed() -> None:
     """Multi-process runtime init — the lawful replacement for the
     reference's ``init_process_group('nccl', MASTER_ADDR=localhost)``
-    (main.py:43-52). No-op unless a multi-process environment is declared
-    via JAX_COORDINATOR_ADDRESS (+ JAX_NUM_PROCESSES, JAX_PROCESS_ID) or a
-    recognized cluster environment."""
+    (main.py:43-52).
+
+    Resolution order:
+      1. explicit JAX_COORDINATOR_ADDRESS (+ JAX_NUM_PROCESSES,
+         JAX_PROCESS_ID) — e.g. the 2-process CPU test harness;
+      2. a recognized cluster environment (TPU pod / GKE / Slurm / MPI)
+         -> no-arg ``jax.distributed.initialize()``, which auto-detects the
+         coordinator and process topology; if auto-detection cannot resolve
+         a coordinator (e.g. a single-host tunnel that still exports pod
+         markers), fall back to single-process;
+      3. otherwise a no-op (single-process).
+    Safe to call twice (already-initialized errors are swallowed).
+    """
+    import logging
     import os
-    coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if coord is None:
-        return
-    jax.distributed.initialize(
-        coordinator_address=coord,
-        num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
-        process_id=int(os.environ["JAX_PROCESS_ID"]))
+    try:
+        coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+        if coord is not None:
+            jax.distributed.initialize(
+                coordinator_address=coord,
+                num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                process_id=int(os.environ["JAX_PROCESS_ID"]))
+        elif any(m in os.environ for m in _CLUSTER_ENV_MARKERS):
+            # Opportunistic: single-host tunnels can export pod markers, and
+            # a library caller may have touched the backend already — both
+            # mean "run single-process", not "crash".
+            try:
+                jax.distributed.initialize()
+            except (ValueError, KeyError, RuntimeError) as e:
+                logging.getLogger(__name__).info(
+                    "cluster markers present but distributed init not "
+                    "possible (%s); continuing single-process", e)
+    except RuntimeError as e:  # pragma: no cover - double-init guard
+        if "already" not in str(e):
+            raise
 
 
 def background_batches(iterator, size: int = 2):
@@ -137,7 +170,18 @@ def shard_params(params, mesh: Mesh, tensor_parallel: bool = False):
 
 def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh
                 ) -> Dict[str, jnp.ndarray]:
-    """Place a host batch with the leading axis sharded over 'data'."""
+    """Place a host batch with the leading axis sharded over 'data'.
+
+    Single-process: a plain sharded device_put. Multi-process: each host
+    passes only ITS shard of the global batch and
+    ``jax.make_array_from_process_local_data`` assembles the global array —
+    the lawful equivalent of DistributedSampler feeding per-rank loaders
+    (reference main.py:62); no host ever materializes the global batch.
+    """
+    if jax.process_count() > 1:
+        return {k: jax.make_array_from_process_local_data(
+                    NamedSharding(mesh, BATCH_AXES[k]), np.asarray(v))
+                for k, v in batch.items()}
     return {k: jax.device_put(np.asarray(v),
                               NamedSharding(mesh, BATCH_AXES[k]))
             for k, v in batch.items()}

@@ -105,23 +105,29 @@ def cmd_train(args) -> None:
         block_size=cfg.context_length, data_dir=args.data_dir,
         action_dim=cfg.action_dim, state_file_path=args.state_file,
         tasks=tasks, min_rtg=min_rtg, max_rtg=max_rtg)
-    max_steps = max(len(dataset) // tcfg.batch_size, 1) * tcfg.max_epochs
+    # batch_size is PER PROCESS (the reference's per-GPU batch under DDP);
+    # the global batch is batch_size * process_count.
+    n_proc = jax.process_count()
+    steps_per_epoch = max((len(dataset) // n_proc) // tcfg.batch_size, 1)
+    max_steps = steps_per_epoch * tcfg.max_epochs
 
     params = init_dt_params(cfg, seed=tcfg.seed)
     optimizer = make_optimizer(tcfg, max_steps, params)
     state = TrainState(params=params, opt_state=optimizer.init(params),
                        step=jnp.zeros((), jnp.int32))
-    # Data-parallel over as many devices as the batch divides into evenly.
+    # Data-parallel over as many devices as the global batch divides into
+    # evenly (all processes' devices — jax.devices() is global).
     import math
-    n_data = math.gcd(tcfg.batch_size, len(jax.devices()))
+    n_data = math.gcd(tcfg.batch_size * n_proc, len(jax.devices()))
     mesh = make_mesh(n_data=n_data, n_model=1)
     step_fn = make_train_step(make_dt_apply(cfg, train=True), optimizer)
 
     os.makedirs(tcfg.checkpoint_dir, exist_ok=True)
     trainer = Trainer(
         train_step=step_fn, state=state, config=tcfg,
-        batches=lambda epoch: dataset.batches(tcfg.batch_size,
-                                              seed=tcfg.seed + epoch),
+        batches=lambda epoch: dataset.batches(
+            tcfg.batch_size, seed=tcfg.seed + epoch,
+            shard_index=jax.process_index(), num_shards=n_proc),
         shard=lambda b: shard_batch(b, mesh),
         checkpoint_dir=tcfg.checkpoint_dir,
         resume_from=args.resume)

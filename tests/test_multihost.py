@@ -1,0 +1,149 @@
+"""Multi-host readiness: a REAL 2-process run over the JAX distributed
+runtime (coordinator + per-process CPU devices) must train one step to the
+same parameters as a single-process run on the assembled global batch —
+the lawful analogue of the reference's DDP grad all-reduce equivalence
+(main.py:43-52, train.py:53,96), which the reference never tests.
+
+Each worker: initializes via maybe_initialize_distributed (explicit env
+vars), builds the global (data,) mesh over all processes' devices, feeds
+ONLY its per-process batch shard through shard_batch's
+make_array_from_process_local_data path, and runs one fused train step.
+"""
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import os, sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, os.environ["REPO_ROOT"])
+
+from dt4image_restoration_tpu.training.sharding import (
+    maybe_initialize_distributed, make_mesh, shard_batch, make_train_step)
+maybe_initialize_distributed()
+assert jax.process_count() == 2, jax.process_count()
+
+import jax.numpy as jnp
+from dt4image_restoration_tpu.config import ModelConfig, TrainerConfig
+from dt4image_restoration_tpu.models.decision_transformer import (
+    init_dt_params, make_dt_apply)
+from dt4image_restoration_tpu.training.trainer import (
+    TrainState, make_optimizer)
+
+rank = jax.process_index()
+cfg = ModelConfig(block_size=18, n_embeds=9)
+tcfg = TrainerConfig(batch_size=2)
+
+params = init_dt_params(cfg, seed=0)
+optimizer = make_optimizer(tcfg, max_steps=10, params=params)
+state = TrainState(params=params, opt_state=optimizer.init(params),
+                   step=jnp.zeros((), jnp.int32))
+step_fn = make_train_step(make_dt_apply(cfg, train=True), optimizer)
+
+# Deterministic global batch; each process feeds rows [rank*2:(rank+1)*2].
+rng = np.random.default_rng(7)
+B, T, S = 4, 6, 128 * 128
+batch = {
+    "states": rng.uniform(0, 1, (B, T, S)).astype(np.float32),
+    "actions": rng.uniform(0, 1, (B, T, 3)).astype(np.float32),
+    "rtg": rng.uniform(0, 1, (B, T, 1)).astype(np.float32),
+    "traj_masks": np.ones((B, T, 1), np.float32),
+    "timesteps": np.tile(np.arange(T, dtype=np.int32).reshape(1, T, 1),
+                         (B, 1, 1)),
+    "task": np.zeros((B, T), np.int32),
+}
+local = {k: v[rank * 2:(rank + 1) * 2] for k, v in batch.items()}
+
+mesh = make_mesh(n_data=len(jax.devices()), n_model=1)
+with mesh:
+    sharded = shard_batch(local, mesh)
+    for k, v in sharded.items():
+        assert v.shape[0] == B, (k, v.shape)  # global array assembled
+    state, loss = step_fn(state, sharded, jax.random.PRNGKey(0))
+    loss = float(loss)
+
+if rank == 0:
+    leaves = jax.tree_util.tree_leaves(jax.device_get(state.params))
+    np.savez(os.environ["OUT_PATH"], loss=np.float32(loss),
+             checksum=np.float64(sum(float(np.sum(l)) for l in leaves)),
+             first=np.asarray(leaves[0]))
+print("WORKER_OK", rank, loss)
+"""
+
+
+def test_two_process_training_matches_single_process(tmp_path):
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    out_path = str(tmp_path / "rank0.npz")
+    procs = []
+    for rank in range(2):
+        env = dict(
+            os.environ,
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(rank),
+            REPO_ROOT=REPO,
+            OUT_PATH=out_path,
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", WORKER], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{out[-3000:]}"
+        assert f"WORKER_OK {rank}" in out
+
+    dist = np.load(out_path)
+
+    # Single-process reference on the assembled global batch (the loss is
+    # permutation-invariant over rows, so shard interleaving is immaterial).
+    import jax
+    import jax.numpy as jnp
+    from dt4image_restoration_tpu.config import ModelConfig, TrainerConfig
+    from dt4image_restoration_tpu.models.decision_transformer import (
+        init_dt_params, make_dt_apply)
+    from dt4image_restoration_tpu.training.trainer import (
+        TrainState, make_optimizer)
+    from dt4image_restoration_tpu.training.sharding import make_train_step
+
+    cfg = ModelConfig(block_size=18, n_embeds=9)
+    tcfg = TrainerConfig(batch_size=2)
+    params = init_dt_params(cfg, seed=0)
+    optimizer = make_optimizer(tcfg, max_steps=10, params=params)
+    state = TrainState(params=params, opt_state=optimizer.init(params),
+                       step=jnp.zeros((), jnp.int32))
+    step_fn = make_train_step(make_dt_apply(cfg, train=True), optimizer)
+
+    rng = np.random.default_rng(7)
+    B, T, S = 4, 6, 128 * 128
+    batch = {
+        "states": rng.uniform(0, 1, (B, T, S)).astype(np.float32),
+        "actions": rng.uniform(0, 1, (B, T, 3)).astype(np.float32),
+        "rtg": rng.uniform(0, 1, (B, T, 1)).astype(np.float32),
+        "traj_masks": np.ones((B, T, 1), np.float32),
+        "timesteps": np.tile(np.arange(T, dtype=np.int32).reshape(1, T, 1),
+                             (B, 1, 1)),
+        "task": np.zeros((B, T), np.int32),
+    }
+    state, loss = step_fn(state, {k: jnp.asarray(v)
+                                  for k, v in batch.items()},
+                          jax.random.PRNGKey(0))
+
+    np.testing.assert_allclose(float(loss), float(dist["loss"]), rtol=1e-5)
+    leaves = jax.tree_util.tree_leaves(jax.device_get(state.params))
+    np.testing.assert_allclose(
+        float(dist["checksum"]),
+        sum(float(np.sum(l)) for l in leaves), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(leaves[0]), dist["first"],
+                               rtol=1e-5, atol=1e-7)
