@@ -178,6 +178,9 @@ class MCTS:
     value_fn: Callable[[np.ndarray], float]
 
     cached_encoder: bool = True  # cache state-encoder outputs in buffers
+    record_trace: bool = False   # keep per-iteration search traces
+    # (expanded node identity, child priors, rollout reward) in self.traces
+    # — used by the cross-framework search-structure parity tests
 
     def __post_init__(self):
         cfg = self.model_cfg
@@ -409,6 +412,7 @@ class MCTS:
         if seeds is None:
             seeds = [self.cfg.seed + i for i in range(n_trees)]
         rngs = [np.random.default_rng(s) for s in seeds]
+        self.traces = [[] for _ in records] if self.record_trace else None
 
         roots = []
         rewards_dicts: List[Dict[str, float]] = []
@@ -418,8 +422,13 @@ class MCTS:
             root = Node(time=0, prob=1.0, parent=None, edge=0, index=0,
                         env_state=env_state, policy_state=env_state,
                         policy_rtg=float(np.asarray(rtg0).reshape(-1)[0]))
+            # The root observation is the RESET env state's x (the CLIPPED
+            # record x0): reference run_mcts ignores the dataset's policy
+            # states and build_eval reads policy_state['x'].real
+            # (mcts.py:45,215-219) — unlike the greedy evaluator, whose
+            # initial observation is the dataset's unclipped x0.
             root.bufs = self._seed_bufs(
-                jnp.asarray(states0).reshape(1, -1),
+                env_state.x_real.reshape(1, -1),
                 jnp.asarray(rtg0).reshape(1),
                 jnp.asarray(task0).reshape(-1)[:1])
             root.s_visits = 1
@@ -487,6 +496,12 @@ class MCTS:
                     rewards_dicts[j][rep] = reward
                     states_dicts[j][rep] = x
                 node.backprop(reward)
+                if self.record_trace:
+                    self.traces[j].append({
+                        "iter": i, "time": node.time, "edge": node.edge,
+                        "index": node.index,
+                        "probs": [c.prob for c in node.children],
+                        "reward": reward})
 
         out = []
         for j, root in enumerate(roots):
