@@ -92,6 +92,18 @@ def main() -> None:
     t_batch = _throughput(lambda: roll_f32(stateB), fetch, repeats=10)
     slices_per_sec = BATCH / t_batch
 
+    # --- batch-scaling study: find the throughput knee --------------------
+    scaling = {}
+    for b in (64, 128, 256):
+        reps = max(2, 512 // b)
+        big_b = {k: np.concatenate([mats[s % BATCH][k] for s in range(b)])
+                 for k in mats[0]}
+        state_b = reset_from_mat(big_b)
+        t_b = _throughput(lambda: roll_f32(state_b), fetch, repeats=reps,
+                          warmup=1)
+        scaling[f"batched_slices_per_sec_b{b}"] = round(b / t_b, 2)
+        del state_b, big_b
+
     # --- bf16 variants ----------------------------------------------------
     roll_bf16 = make_roll(denoise_bf16)
     t_bf16 = _throughput(lambda: roll_bf16(state1), fetch, repeats=20)
@@ -122,6 +134,7 @@ def main() -> None:
             "psnr_torch_cpu_db": round(psnr_torch, 4),
             "psnr_parity_delta_db": round(abs(psnr_jax - psnr_torch), 4),
             "psnr_bf16_delta_db": round(abs(psnr_bf16 - psnr_torch), 4),
+            **scaling,
         },
     }
     print(json.dumps(result))

@@ -173,19 +173,31 @@ def greedy_rollout(dt_apply: Callable, denoise: Callable, cfg: ModelConfig,
                    pred_rtg: jnp.ndarray, max_timesteps: int,
                    start_time: Any = 1,
                    encode: Optional[Callable] = None,
-                   dt_embed_apply: Optional[Callable] = None
+                   dt_embed_apply: Optional[Callable] = None,
+                   early_exit: bool = True
                    ) -> Tuple[CSMRIState, jnp.ndarray, jnp.ndarray,
                               EvalBuffers]:
-    """The greedy env/policy loop (eval.py:189-220) as one ``lax.scan``.
+    """The greedy env/policy loop (eval.py:189-220) as one fused program.
 
     Returns ``(final_env_state, reward (B, 1), episode_len (B,), buffers)``.
     ``episode_len`` is the reference's returned ``time`` — the iteration at
     which the episode finished (stop action or ``max_timesteps``).
 
     ``start_time`` may be a traced scalar or per-image (B,) vector (MCTS
-    rollouts start from each node's depth, mcts.py:206): the scan always
+    rollouts start from each node's depth, mcts.py:206): the loop always
     spans [0, max_timesteps] and iterations before ``start_time`` are
     masked no-ops per image, keeping one compiled program for every depth.
+
+    ``early_exit=True`` (default) runs the body under ``lax.while_loop``
+    and stops as soon as EVERY image in the batch is finished — the
+    reference's per-image early return (eval.py:206-214) recovered at the
+    batch level; iterations past the last stop were provably no-ops (env
+    frozen, buffer writes masked), so outputs are identical to the full
+    scan (tested). Measured (benchmarks/RESULTS.md): 10.5x on CPU hosts
+    when episodes stop at t=2 of 30; on the tunneled TPU the per-call wall
+    is link-latency-bound (~110 ms) so the saved device time is within
+    noise there, but never slower. ``early_exit=False`` keeps the
+    fixed-trip ``lax.scan``.
     """
     policy_step = make_policy_step(dt_apply, cfg, dt_embed_apply)
     cached = bufs.state_embs is not None and encode is not None
@@ -210,28 +222,32 @@ def greedy_rollout(dt_apply: Callable, denoise: Callable, cfg: ModelConfig,
 
         # Buffer writes + policy prediction are masked where finished
         # (the reference returns before them, eval.py:206-218) or not yet
-        # started.
+        # started. The buffer index is clamped: at t == max_timesteps every
+        # image is finished (live all-False), but an unclamped t would make
+        # jnp.take fill NaN out-of-bounds and the clamped scatter would
+        # write it into the last slot.
         live = ~finished & started
+        tw = jnp.minimum(t, max_timesteps - 1)
         ob = get_policy_ob(env_state)
-        old_s = jnp.take(bufs.states, t, axis=1)
-        old_r = jnp.take(bufs.rtg, t, axis=1)
+        old_s = jnp.take(bufs.states, tw, axis=1)
+        old_r = jnp.take(bufs.rtg, tw, axis=1)
         bufs = bufs.replace(
             states=jax.lax.dynamic_update_slice_in_dim(
                 bufs.states,
-                jnp.where(live[:, None], ob, old_s)[:, None], t, axis=1),
+                jnp.where(live[:, None], ob, old_s)[:, None], tw, axis=1),
             rtg=jax.lax.dynamic_update_slice_in_dim(
                 bufs.rtg,
                 jnp.where(live[:, None], pred_rtg[:, None], old_r)[:, None],
-                t, axis=1))
+                tw, axis=1))
         if cached:
             # Encode the single new observation once (vs 12 window encodes
             # per step without the cache).
             emb = encode(params, ob)
-            old_e = jnp.take(bufs.state_embs, t, axis=1)
+            old_e = jnp.take(bufs.state_embs, tw, axis=1)
             bufs = bufs.replace(
                 state_embs=jax.lax.dynamic_update_slice_in_dim(
                     bufs.state_embs,
-                    jnp.where(live[:, None], emb, old_e)[:, None], t,
+                    jnp.where(live[:, None], emb, old_e)[:, None], tw,
                     axis=1))
 
         old_actions = bufs.actions
@@ -247,8 +263,22 @@ def greedy_rollout(dt_apply: Callable, denoise: Callable, cfg: ModelConfig,
     b = env_state.batch
     init = (env_state, bufs, action_dict, pred_rtg,
             jnp.zeros((b,), bool), jnp.full((b,), max_timesteps, jnp.int32))
-    ts = jnp.arange(0, max_timesteps + 1, dtype=jnp.int32)
-    (env_state, bufs, *_ , ep_len), _ = jax.lax.scan(body, init, ts)
+    if early_exit:
+        def cond(c):
+            t, carry = c
+            finished = carry[4]
+            return (t <= max_timesteps) & ~jnp.all(finished)
+
+        def wbody(c):
+            t, carry = c
+            carry, _ = body(carry, t)
+            return t + 1, carry
+
+        _, (env_state, bufs, *_, ep_len) = jax.lax.while_loop(
+            cond, wbody, (jnp.asarray(0, jnp.int32), init))
+    else:
+        ts = jnp.arange(0, max_timesteps + 1, dtype=jnp.int32)
+        (env_state, bufs, *_, ep_len), _ = jax.lax.scan(body, init, ts)
     reward = compute_reward(env_state)
     return env_state, reward, ep_len, bufs
 

@@ -201,6 +201,32 @@ def test_fused_decode_drop_in_policy(params):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_early_exit_rollout_matches_scan(params):
+    """The while_loop early-exit rollout must be output-identical to the
+    fixed-trip scan on a batch with MIXED stop times (iterations past the
+    last stop are no-ops for every carried value)."""
+    mats = {k: np.concatenate(
+                [np.asarray(make_mat_record(seed=i)[k]) for i in (0, 1)])
+            for k in ("x0", "y0", "mask", "gt")}
+    x0 = jnp.asarray(mats["x0"][..., 0].reshape(2, -1))
+    mats["x0"] = np.clip(mats["x0"], 0, None)
+    rtg0 = jnp.asarray([0.6, 0.9])
+    task = jnp.asarray([2, 3], jnp.int32)
+    env0 = reset_from_mat(mats)
+
+    bufs, _, adict, prtg = initial_policy_setup(
+        dt_apply, CFG, params, x0, rtg0, task, MAXT)
+    outs = {}
+    for early in (False, True):
+        final, reward, ep_len, obufs = greedy_rollout(
+            dt_apply, stub_denoise, CFG, params, env0, bufs, adict, prtg,
+            MAXT, early_exit=early)
+        outs[early] = (np.asarray(final.x), np.asarray(reward),
+                       np.asarray(ep_len), np.asarray(obufs.states))
+    for a, b in zip(outs[False], outs[True]):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_program_cache_bounded(params):
     """Churning evaluator configs must not grow the process-wide compiled-
     program cache beyond its LRU cap (jit is lazy, so construction alone
