@@ -391,18 +391,30 @@ class Evaluator:
         }
 
     def run(self, eval_paths: Sequence[str]) -> float:
-        """Per-directory evaluation; prints the same aggregates as the
-        reference (eval.py:137-143) and returns total PSNR increment."""
-        total_increment = 0.0
+        """Evaluate every directory's reporting batch in ONE device program
+        (all dirs' images concatenated — 9 dispatches become 1 at the
+        measured B~64-128 throughput knee), then print the reference's
+        per-directory aggregates in order (eval.py:137-143). Returns the
+        total PSNR increment."""
+        groups = []
         for path in eval_paths:
             ds = EvaluationDataset(
                 path, rtg_target=self.rtg_target,
                 kind="flex" if self.eval_type == "flex" else "optimal")
             n = min(len(ds), self.report_every)
-            records = [ds[i] for i in range(n)]
-            m = self.evaluate_records(records)
-            print("Average iter, ", float(np.mean(m["episode_len"])))
-            print("Average reward, ", float(np.mean(m["reward"])))
-            print("PSNR increment ", float(np.mean(m["increment"])))
-            total_increment += float(np.mean(m["increment"]))
+            if n:
+                groups.append((path, [ds[i] for i in range(n)]))
+        if not groups:
+            return 0.0
+        m = self.evaluate_records(
+            [r for _, recs in groups for r in recs])
+
+        total_increment, off = 0.0, 0
+        for path, recs in groups:
+            sl = slice(off, off + len(recs))
+            off += len(recs)
+            print("Average iter, ", float(np.mean(m["episode_len"][sl])))
+            print("Average reward, ", float(np.mean(m["reward"][sl])))
+            print("PSNR increment ", float(np.mean(m["increment"][sl])))
+            total_increment += float(np.mean(m["increment"][sl]))
         return total_increment

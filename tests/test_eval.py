@@ -258,3 +258,28 @@ def test_evaluator_end_to_end(tmp_path, params):
                    rtg_target=10.0, report_every=3)
     inc = ev.run([str(d)])
     assert np.isfinite(inc)
+
+
+def test_run_batches_across_directories(tmp_path, params, capsys):
+    """run() evaluates all directories in one device program; the printed
+    per-directory aggregates must match separate per-directory runs."""
+    import os
+    from scipy.io import savemat
+    dirs = []
+    for di, seeds in enumerate([(0, 1), (2,), (3, 4)]):
+        d = tmp_path / f"4_{5 * (di + 1)}"
+        os.makedirs(d)
+        for i, s in enumerate(seeds):
+            savemat(d / f"img_4_{5 * (di + 1)}_s{i}.mat",
+                    make_mat_record(seed=s))
+        dirs.append(str(d))
+
+    ev = Evaluator(dt_apply=dt_apply, dt_params=params,
+                   denoise=stub_denoise, cfg=CFG, max_timesteps=MAXT,
+                   rtg_target=10.0, report_every=7)
+    total_joint = ev.run(dirs)
+    joint_out = capsys.readouterr().out
+    assert joint_out.count("PSNR increment") == 3
+
+    total_split = sum(ev.run([d]) for d in dirs)
+    np.testing.assert_allclose(total_joint, total_split, rtol=1e-5)
