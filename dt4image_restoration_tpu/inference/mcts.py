@@ -181,6 +181,9 @@ class MCTS:
     record_trace: bool = False   # keep per-iteration search traces
     # (expanded node identity, child priors, rollout reward) in self.traces
     # — used by the cross-framework search-structure parity tests
+    mesh: Optional[Any] = None   # jax.sharding.Mesh: shard the lockstep
+    # trees over the 'data' axis (multi-chip search; records are padded to
+    # a multiple of the axis size and the padding dropped from outputs)
 
     def __post_init__(self):
         cfg = self.model_cfg
@@ -408,9 +411,14 @@ class MCTS:
         batched search equals N sequential searches up to batching-induced
         float reordering.
         """
-        n_trees = len(records)
+        n_out = len(records)
         if seeds is None:
-            seeds = [self.cfg.seed + i for i in range(n_trees)]
+            seeds = [self.cfg.seed + i for i in range(n_out)]
+        if self.mesh is not None:
+            pad = (-len(records)) % self.mesh.shape["data"]
+            records = list(records) + [records[-1]] * pad
+            seeds = list(seeds) + [seeds[-1]] * pad
+        n_trees = len(records)
         rngs = [np.random.default_rng(s) for s in seeds]
         self.traces = [[] for _ in records] if self.record_trace else None
 
@@ -455,11 +463,16 @@ class MCTS:
 
             # EXPAND + ROLLOUT: one fused dispatch.
             t_vec = jnp.asarray([n.time for n in leaves], jnp.int32)
+            bufs_b = _concat_pytrees([n.bufs for n in leaves])
+            env_b = _concat_pytrees([n.env_state for n in leaves])
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                shard = lambda x: jax.device_put(
+                    x, NamedSharding(self.mesh, P("data")))
+                bufs_b = jax.tree.map(shard, bufs_b)
+                env_b = jax.tree.map(shard, env_b)
             out = self._search_iter(
-                self.dt_params,
-                _concat_pytrees([n.bufs for n in leaves]),
-                t_vec,
-                _concat_pytrees([n.env_state for n in leaves]),
+                self.dt_params, bufs_b, t_vec, env_b,
                 jnp.asarray([n.policy_rtg for n in leaves], jnp.float32),
                 jnp.asarray(z[:, :k], jnp.float32),
                 jnp.asarray(z[:, k:], jnp.float32))
@@ -504,7 +517,8 @@ class MCTS:
                         "reward": reward})
 
         out = []
-        for j, root in enumerate(roots):
+        # Padded trees (mesh alignment) are dropped from the outputs.
+        for j, root in enumerate(roots[:n_out]):
             best_key = max(rewards_dicts[j], key=rewards_dicts[j].get)
             best_state = states_dicts[j][best_key]
             # Final score: PSNR of the best program's stored final image vs

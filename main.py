@@ -222,7 +222,8 @@ def cmd_mcts(args) -> None:
                model_cfg=cfg,
                cfg=MCTSConfig(max_timesteps=args.max_timesteps or 30,
                               seed=args.seed),
-               value_fn=value_fn)
+               value_fn=value_fn,
+               mesh=None if args.sequential else _eval_mesh())
     dirs = args.data_dirs or EVAL_DIRS_9
     total = 0.0
     for path in (d for d in dirs if os.path.isdir(d)):

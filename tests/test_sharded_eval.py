@@ -30,8 +30,10 @@ def _records(n):
     out = []
     for i in range(n):
         mat = dict(make_mat_record(seed=i))
-        mat["x0"] = np.clip(mat["x0"], 0, None)
+        # Dataset semantics: policy state from the UNCLIPPED x0, record
+        # clipped (datasets.py parity).
         states = mat["x0"][..., 0].reshape(1, -1).astype(np.float32)
+        mat["x0"] = np.clip(mat["x0"], 0, None)
         out.append(((states, np.full((1, 1), 0.6, np.float32),
                      np.zeros(3, np.float32), np.asarray([2], np.int32)),
                     mat))
@@ -59,6 +61,28 @@ def test_sharded_eval_matches_unsharded(params):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_array_equal(sharded["episode_len"],
                                   plain["episode_len"])
+
+
+def test_sharded_mcts_runs_and_is_deterministic(params):
+    """Lockstep trees sharded over the 8-device mesh: 3 images pad to 8
+    shards, padding dropped from outputs; two identical sharded runs agree
+    bitwise (per-tree RNG streams are host-side and mesh-independent)."""
+    from dt4image_restoration_tpu.config import MCTSConfig
+    from dt4image_restoration_tpu.inference.mcts import BatchedMCTS
+    from dt4image_restoration_tpu.models.arniqa import proxy_value_fn
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    mcts = BatchedMCTS(
+        dt_apply=dt_apply, dt_params=params, denoise=stub_denoise,
+        model_cfg=CFG, cfg=MCTSConfig(iterations=3, max_timesteps=8),
+        value_fn=proxy_value_fn, mesh=mesh)
+    records = _records(3)
+    with mesh:
+        r1 = mcts.run_batch(records, seeds=[5, 6, 7])
+        r2 = mcts.run_batch(records, seeds=[5, 6, 7])
+    assert len(r1) == 3
+    assert all(np.isfinite(v) and 0 < v < 60 for v in r1)
+    assert r1 == r2
 
 
 def test_prefetch_to_device(rng):
