@@ -107,6 +107,20 @@ def main() -> None:
     results["mcts_batched_7img_s"] = round(wall, 3)
     results["mcts_batched_s_per_image"] = round(wall / 7, 3)
 
+    # Device-resident tree: the WHOLE 30-iteration search for all 7 images
+    # is ONE XLA program (inference/mcts_device.py).
+    from dt4image_restoration_tpu.inference.mcts_device import DeviceMCTS
+    dm = DeviceMCTS(dt_apply=dt_apply, dt_params=dt_params,
+                    denoise=denoise, model_cfg=cfg,
+                    cfg=MCTSConfig(iterations=30),
+                    value_fn=proxy_value_fn)
+    dm.run_batch(recs7)  # compile
+    t0 = time.perf_counter()
+    dm.run_batch(recs7, seeds=list(range(7)))
+    wall = time.perf_counter() - t0
+    results["mcts_device_7img_s"] = round(wall, 3)
+    results["mcts_device_s_per_image"] = round(wall / 7, 3)
+
     print(json.dumps(results))
 
 

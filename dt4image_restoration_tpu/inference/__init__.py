@@ -11,7 +11,8 @@ from dt4image_restoration_tpu.inference.mcts import (
     Node,
     run_mcts,
 )
+from dt4image_restoration_tpu.inference.mcts_device import DeviceMCTS
 
 __all__ = ["Evaluator", "EvalBuffers", "greedy_rollout",
            "initial_policy_setup", "make_policy_step",
-           "MCTS", "BatchedMCTS", "Node", "run_mcts"]
+           "MCTS", "BatchedMCTS", "DeviceMCTS", "Node", "run_mcts"]

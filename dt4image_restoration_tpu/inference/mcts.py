@@ -323,6 +323,10 @@ class MCTS:
             return (action_vec, pred_rtg, probs, stepped, new_bufs,
                     final.x[..., 0], ep_len)
 
+        # Raw (unjitted) iteration body: DeviceMCTS embeds it inside its
+        # whole-search lax.scan (inference/mcts_device.py) so both backends
+        # share one definition of the expansion/rollout math.
+        self._search_iter_fn = search_iter
         self._search_iter = jax.jit(search_iter)
 
     # -- expansion (mcts.py:103-143) --------------------------------------

@@ -1,0 +1,308 @@
+"""Device-resident PUCB tree search: the WHOLE 30-iteration MCTS as ONE
+XLA program.
+
+The lockstep search in :mod:`mcts` already fuses each PUCB iteration into a
+single device program, but the tree itself (selection, backprop, child
+bookkeeping) lives on the host, costing one dispatch + one result fetch per
+iteration — ~30 round-trips per search, the wall-clock floor on high-RTT
+links (benchmarks/RESULTS.md). Here the tree moves on-device as fixed-size
+arrays and the search becomes a ``lax.scan`` over iterations:
+
+  * **node arrays** — a search of I iterations with K children per
+    expansion touches at most ``1 + I*K`` nodes; parent/first-child
+    indices, PUCB statistics (prob, reward, visits), per-node env state
+    (x, z, u, T), and a buffer-bank pointer are preallocated at that
+    bound (the fixed-shape analogue of the reference's linked ``Node``
+    objects, mcts.py:4-59);
+  * **selection** (mcts.py:74-88) — a ``lax.while_loop`` descent over the
+    index arrays, replicating the host implementation's first-max
+    tie-break, the NaN-skip, and the -1000 floor exactly;
+  * **expansion + rollout** — the SAME ``search_iter`` body the host
+    backend jits per iteration (shared via ``MCTS._search_iter_fn``), so
+    the two backends cannot drift;
+  * **buffer bank** — children of expansion ``i`` share one policy-buffer
+    snapshot; the bank holds ``1 + I`` snapshots and nodes point into it
+    (the device analogue of the host version's shared ``child.bufs``);
+  * **max-backprop** (mcts.py:34-38) — a ``lax.while_loop`` ascent that
+    stops at the first non-improving ancestor, exactly like the
+    reference's recursive early return;
+  * **value function** — must be jittable here (``value_fn_jax``:
+    ``(B, H, W) -> (B,)``); the ARNIQA port and the proxy scorer both have
+    batched jit twins (models/arniqa.py). The host backend's per-node
+    reward memoization is dropped: a selected leaf is always freshly
+    expanded (descent stops only at childless nodes), so the memo never
+    hits and the deterministic rollout recomputes identical values.
+
+One documented deviation from the host backend: if PUCB selection ever
+found NO child above the -1000 floor at an expanded node, the host loop
+(`while node.children: node = select_p_ucb(node)`) would spin forever re-
+selecting the fallback parent; the device descent instead expands that
+node again. Unreachable in practice (rewards are bounded quality scores,
+so ``child.reward - parent.reward > -1000`` always).
+
+Parity: tests/test_mcts_device.py pins traces (expanded node sequence,
+child priors, rollout rewards) and final scores against the host backend
+on shared RNG streams.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dt4image_restoration_tpu.env.pnp import CSMRIState, reset_from_mat
+from dt4image_restoration_tpu.inference.evaluator import EvalBuffers
+from dt4image_restoration_tpu.inference.mcts import MCTS
+from dt4image_restoration_tpu.ops import psnr
+
+
+@dataclasses.dataclass
+class DeviceMCTS(MCTS):
+    """Whole-search-on-device backend. ``value_fn_jax`` is the jittable
+    batched no-reference scorer; ``value_fn`` (host callable) is unused at
+    search time but kept for interface compatibility."""
+    value_fn_jax: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None
+
+    def __post_init__(self):
+        super().__post_init__()
+        if self.value_fn_jax is None:
+            from dt4image_restoration_tpu.models.arniqa import (
+                proxy_value_fn_jax)
+            self.value_fn_jax = proxy_value_fn_jax
+
+        cfg = self.cfg
+        I, K = cfg.iterations, cfg.n_children
+        n_nodes = 1 + I * K
+
+        def search_all(params, root_bufs: EvalBuffers, root_env: CSMRIState,
+                       rtg0, z_all):
+            n = root_env.batch
+            tr = jnp.arange(n)
+            f32, i32 = jnp.float32, jnp.int32
+
+            def node_alloc(root_leaf):
+                return jnp.zeros((n, n_nodes) + root_leaf.shape[1:],
+                                 root_leaf.dtype
+                                 ).at[:, 0].set(root_leaf)
+
+            node_x = node_alloc(root_env.x)
+            node_z = node_alloc(root_env.z)
+            node_u = node_alloc(root_env.u)
+            node_T = jnp.zeros((n, n_nodes), f32)
+            parent = jnp.full((n, n_nodes), -1, i32)
+            first_child = jnp.full((n, n_nodes), -1, i32)
+            time = jnp.zeros((n, n_nodes), i32)
+            prob = jnp.zeros((n, n_nodes), f32).at[:, 0].set(1.0)
+            reward = jnp.zeros((n, n_nodes), f32)
+            visits = jnp.zeros((n, n_nodes), i32).at[:, 0].set(1)
+            policy_rtg = jnp.zeros((n, n_nodes), f32).at[:, 0].set(
+                rtg0.reshape(n))
+            buf_id = jnp.zeros((n, n_nodes), i32)
+
+            def bank_alloc(root_leaf):
+                return jnp.zeros((n, 1 + I) + root_leaf.shape[1:],
+                                 root_leaf.dtype
+                                 ).at[:, 0].set(root_leaf)
+
+            bank = jax.tree.map(
+                bank_alloc, root_bufs.replace(task=None))
+            task = root_bufs.task
+
+            best_reward = jnp.full((n,), -jnp.inf, f32)
+            best_final = jnp.zeros_like(root_env.gt)  # (n, 1, H, W)
+
+            def select(first_child, prob, reward, visits):
+                """PUCB descent (mcts.py:74-88; host select_p_ucb parity:
+                first strict max wins, NaN skipped, -1000 floor)."""
+                visits = visits.at[:, 0].add(1)  # root pre-increment
+
+                def cond(c):
+                    _, _, stopped = c
+                    return jnp.any(~stopped)
+
+                def body(c):
+                    cur, visits, stopped = c
+                    fc = first_child[tr, cur]
+                    ch = jnp.maximum(fc, 0)[:, None] + jnp.arange(K)
+                    ch_r = reward[tr[:, None], ch]
+                    ch_p = prob[tr[:, None], ch]
+                    ch_v = visits[tr[:, None], ch]
+                    pv = visits[tr, cur].astype(f32)
+                    # sqrt(log(v)): v >= 1 on the path, so the host's NaN
+                    # branch (log < 0) can only fire at v == 0 — mirrored
+                    # by the explicit where.
+                    term = jnp.where(pv >= 1.0, jnp.sqrt(
+                        jnp.log(jnp.maximum(pv, 1.0))), jnp.nan)
+                    score = (ch_r - reward[tr, cur][:, None]
+                             + ch_p * term[:, None] / (1.0 + ch_v))
+                    score = jnp.where(jnp.isnan(score), -jnp.inf, score)
+                    best_k = jnp.argmax(score, axis=1)  # first max
+                    advance = (~stopped & (fc >= 0)
+                               & (jnp.max(score, axis=1) > -1000.0))
+                    new_cur = jnp.where(advance, ch[tr, best_k], cur)
+                    visits = visits.at[tr, new_cur].add(
+                        advance.astype(i32))
+                    return new_cur, visits, stopped | ~advance
+
+                cur, visits, _ = jax.lax.while_loop(
+                    cond, body,
+                    (jnp.zeros((n,), i32), visits,
+                     jnp.zeros((n,), bool)))
+                return cur, visits
+
+            def backprop(reward, leaf, r):
+                """Max-backprop (mcts.py:34-38): ascend while improving."""
+                def cond(c):
+                    cur, reward = c
+                    safe = jnp.maximum(cur, 0)
+                    return jnp.any((cur >= 0) & (r > reward[tr, safe]))
+
+                def body(c):
+                    cur, reward = c
+                    safe = jnp.maximum(cur, 0)
+                    improve = (cur >= 0) & (r > reward[tr, safe])
+                    # OOB scatter rows (non-improving lanes) are dropped.
+                    idx = jnp.where(improve, safe, n_nodes)
+                    reward = reward.at[tr, idx].set(r)
+                    return jnp.where(improve, parent[tr, safe], -1), reward
+
+                _, reward = jax.lax.while_loop(cond, body, (leaf, reward))
+                return reward
+
+            def body(carry, it):
+                (node_x, node_z, node_u, node_T, parent, first_child, time,
+                 prob, reward, visits, policy_rtg, buf_id, bank,
+                 best_reward, best_final) = carry
+                i, z_i = it
+
+                leaf, visits = select(first_child, prob, reward, visits)
+                t_vec = time[tr, leaf]
+                env = CSMRIState(
+                    x=node_x[tr, leaf], z=node_z[tr, leaf],
+                    u=node_u[tr, leaf], mask=root_env.mask,
+                    y0=root_env.y0, gt=root_env.gt, T=node_T[tr, leaf],
+                    done=jnp.zeros((n,), bool))
+                bid = buf_id[tr, leaf]
+                bufs = jax.tree.map(lambda b: b[tr, bid], bank
+                                    ).replace(task=task)
+
+                (_, pred_rtg, probs, stepped, new_bufs, finals, _
+                 ) = self._search_iter_fn(
+                    params, bufs, t_vec, env, policy_rtg[tr, leaf],
+                    z_i[:, :K], z_i[:, K:])
+
+                # Children occupy slots [1 + i*K, 1 + (i+1)*K).
+                base = 1 + i * K
+                ch_view = lambda x: x.reshape((n, K + 1) + x.shape[1:]
+                                              )[:, 1:]
+                upd = lambda arr, v: jax.lax.dynamic_update_slice_in_dim(
+                    arr, v, base, axis=1)
+                node_x = upd(node_x, ch_view(stepped.x))
+                node_z = upd(node_z, ch_view(stepped.z))
+                node_u = upd(node_u, ch_view(stepped.u))
+                node_T = upd(node_T, ch_view(stepped.T))
+                bk = lambda v: jnp.broadcast_to(v[:, None], (n, K))
+                parent = upd(parent, bk(leaf))
+                time = upd(time, bk(t_vec + 1))
+                prob = upd(prob, probs)
+                policy_rtg = upd(policy_rtg, bk(pred_rtg))
+                buf_id = upd(buf_id, jnp.full((n, K), i + 1, i32))
+                first_child = first_child.at[tr, leaf].set(base)
+                bank = jax.tree.map(
+                    lambda b, v: jax.lax.dynamic_update_slice_in_dim(
+                        b, v[:, None], i + 1, axis=1),
+                    bank, new_bufs.replace(task=None))
+
+                # finals: (n, 1, H, W) — the rollout's terminal estimates.
+                r = self.value_fn_jax(finals[:, 0]).astype(f32).reshape(n)
+                reward = backprop(reward, leaf, r)
+                better = r > best_reward
+                best_reward = jnp.where(better, r, best_reward)
+                best_final = jnp.where(better[:, None, None, None], finals,
+                                       best_final)
+
+                trace = (leaf, t_vec, probs, r)
+                return (node_x, node_z, node_u, node_T, parent, first_child,
+                        time, prob, reward, visits, policy_rtg, buf_id,
+                        bank, best_reward, best_final), trace
+
+            carry = (node_x, node_z, node_u, node_T, parent, first_child,
+                     time, prob, reward, visits, policy_rtg, buf_id, bank,
+                     best_reward, best_final)
+            carry, traces = jax.lax.scan(
+                body, carry, (jnp.arange(I, dtype=i32), z_all))
+            best_final = carry[-1]
+            # Final score: PSNR of the best program's stored terminal image
+            # vs gt (mcts.py:165-192; argument order immaterial — symmetric
+            # MSE over [0,1] images, same as the host backend).
+            final_reward = psnr(root_env.gt, best_final)[:, 0]
+            return final_reward, traces
+
+        self._search_all = jax.jit(search_all)
+
+    def run_batch(self, records, seeds=None) -> list:
+        """Search N trees in lockstep with ONE device dispatch total."""
+        n_out = len(records)
+        self.traces = None
+        if seeds is None:
+            seeds = [self.cfg.seed + i for i in range(n_out)]
+        if self.mesh is not None:
+            pad = (-len(records)) % self.mesh.shape["data"]
+            records = list(records) + [records[-1]] * pad
+            seeds = list(seeds) + [seeds[-1]] * pad
+
+        I, K = self.cfg.iterations, self.cfg.n_children
+        # Per-tree RNG stream order matches the host backend exactly:
+        # (K sigma_d draws, K mu draws) per iteration.
+        z_all = np.stack([np.random.default_rng(s).standard_normal(
+            (I, 2 * K)) for s in seeds], axis=1).astype(np.float32)
+
+        mats = {k: np.concatenate([np.asarray(r[1][k]) for r in records])
+                for k in ("x0", "y0", "mask", "gt")}
+        env_state = reset_from_mat(mats)
+        rtg0 = jnp.asarray(np.stack(
+            [np.asarray(r[0][1]).reshape(-1)[0] for r in records]),
+            jnp.float32)
+        task = jnp.asarray(np.stack(
+            [np.asarray(r[0][3]).reshape(-1)[0] for r in records]),
+            jnp.int32)
+        # Root observation = the RESET env's x (clipped record x0),
+        # mcts.py:45,215-219 — same as the host backend.
+        root_bufs = self._seed_bufs(
+            env_state.x_real.reshape(len(records), -1), rtg0, task)
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            shard = lambda x: jax.device_put(
+                x, NamedSharding(self.mesh, P("data")))
+            env_state = jax.tree.map(shard, env_state)
+            root_bufs = jax.tree.map(shard, root_bufs)
+
+        final_reward, traces = self._search_all(
+            self.dt_params, root_bufs, env_state, rtg0,
+            jnp.asarray(z_all))
+        final_reward = np.asarray(final_reward)[:n_out]
+
+        if self.record_trace:
+            leaf, t_leaf, probs, r = jax.device_get(traces)
+            self.traces = []
+            for j in range(n_out):
+                tr = []
+                for i in range(I):
+                    slot = int(leaf[i, j])
+                    tr.append({
+                        "iter": i, "time": int(t_leaf[i, j]),
+                        "edge": (slot - 1) % K if slot > 0 else 0,
+                        "index": (slot - 1) // K if slot > 0 else 0,
+                        "probs": [float(p) for p in probs[i, j]],
+                        "reward": float(r[i, j])})
+                self.traces.append(tr)
+
+        out = []
+        for v in final_reward:
+            print("MCTS Reward: ", float(v))
+            out.append(float(v))
+        return out

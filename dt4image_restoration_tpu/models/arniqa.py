@@ -183,6 +183,42 @@ def make_value_fn(variables: Dict[str, Any],
     return lambda x: float(score(jnp.asarray(x, jnp.float32)))
 
 
+def make_value_fn_jax(variables: Dict[str, Any],
+                      image_size: int = 128,
+                      dtype: Any = jnp.float32
+                      ) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Batched jittable twin of :func:`make_value_fn` for the device-
+    resident tree search (inference/mcts_device.py): (B, H, W) images in
+    [0, 1] -> (B,) scores, traceable inside a larger program."""
+    model = ARNIQA(dtype=dtype)
+
+    def score(x):  # (B, H, W)
+        nhwc = jnp.stack(
+            [x, jnp.zeros_like(x), jnp.zeros_like(x)], axis=-1)
+        half = resize_bilinear(nhwc, image_size // 2, image_size // 2)
+        return model.apply(variables, nhwc, half, scale_score=True)
+
+    return score
+
+
+def proxy_value_fn_jax(x: jnp.ndarray) -> jnp.ndarray:
+    """Batched jittable twin of :func:`proxy_value_fn`: (B, H, W) -> (B,).
+
+    Same formula on the same float32 inputs; values can differ from the
+    numpy version at reduction-order epsilon (numpy pairwise sums /
+    float64 percentile interpolation vs XLA float32), which is within the
+    search's documented sensitivity class."""
+    img = jnp.asarray(x, jnp.float32)
+    gy = jnp.gradient(img, axis=1)
+    gx = jnp.gradient(img, axis=2)
+    grad_mag = jnp.sqrt(gx ** 2 + gy ** 2)
+    lap = (jnp.abs(jnp.diff(img, 2, axis=1)).mean(axis=(1, 2))
+           + jnp.abs(jnp.diff(img, 2, axis=2)).mean(axis=(1, 2)))
+    b = img.shape[0]
+    edge = jnp.percentile(grad_mag.reshape(b, -1), 95.0, axis=1)
+    return edge - 5.0 * lap
+
+
 def proxy_value_fn(x: np.ndarray) -> float:
     """Deterministic no-reference quality proxy: rewards piecewise-smooth
     images with strong edges, penalizes high-frequency noise. Used in place

@@ -192,6 +192,7 @@ def cmd_mcts(args) -> None:
     from dt4image_restoration_tpu.config import MCTSConfig, ModelConfig
     from dt4image_restoration_tpu.data.datasets import EvaluationDataset
     from dt4image_restoration_tpu.inference.mcts import MCTS, BatchedMCTS
+    from dt4image_restoration_tpu.inference.mcts_device import DeviceMCTS
 
     rtg_target = float(args.rtg)  # validate before any model loading
 
@@ -200,30 +201,36 @@ def cmd_mcts(args) -> None:
     dt_apply, dt_params = _load_dt(cfg, args.checkpoint)
     denoise = _load_denoiser(args.denoiser_ckpt, args.dtype)
 
+    value_fn_jax = None
     if args.arniqa_ckpt and os.path.exists(args.arniqa_ckpt):
         import jax.numpy as jnp
         import torch
         from dt4image_restoration_tpu.models.arniqa import (
-            convert_arniqa_state_dict, make_value_fn)
+            convert_arniqa_state_dict, make_value_fn, make_value_fn_jax)
+        variables = convert_arniqa_state_dict(
+            torch.load(args.arniqa_ckpt, map_location="cpu"))
         # The reference's autocast ctx also wraps ARNIQA scoring (env.py:52).
-        value_fn = make_value_fn(
-            convert_arniqa_state_dict(
-                torch.load(args.arniqa_ckpt, map_location="cpu")),
-            dtype=jnp.bfloat16 if args.dtype == "bfloat16"
-            else jnp.float32)
+        vdtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+        value_fn = make_value_fn(variables, dtype=vdtype)
+        value_fn_jax = make_value_fn_jax(variables, dtype=vdtype)
     else:
         from dt4image_restoration_tpu.models.arniqa import proxy_value_fn
         print("WARNING: no ARNIQA checkpoint; using the documented no-ref "
               "proxy scorer", file=sys.stderr)
         value_fn = proxy_value_fn
 
-    cls = MCTS if args.sequential else BatchedMCTS
-    mcts = cls(dt_apply=dt_apply, dt_params=dt_params, denoise=denoise,
-               model_cfg=cfg,
-               cfg=MCTSConfig(max_timesteps=args.max_timesteps or 30,
-                              seed=args.seed),
-               value_fn=value_fn,
-               mesh=None if args.sequential else _eval_mesh())
+    backend = "sequential" if args.sequential else args.tree_backend
+    search_cfg = MCTSConfig(max_timesteps=args.max_timesteps or 30,
+                            seed=args.seed)
+    common = dict(dt_apply=dt_apply, dt_params=dt_params, denoise=denoise,
+                  model_cfg=cfg, cfg=search_cfg, value_fn=value_fn)
+    if backend == "sequential":
+        mcts = MCTS(**common)
+    elif backend == "host":
+        mcts = BatchedMCTS(mesh=_eval_mesh(), **common)
+    else:  # 'device': the whole search is one XLA program per directory
+        mcts = DeviceMCTS(mesh=_eval_mesh(), value_fn_jax=value_fn_jax,
+                          **common)
     dirs = args.data_dirs or EVAL_DIRS_9
     total = 0.0
     for path in (d for d in dirs if os.path.isdir(d)):
@@ -288,6 +295,12 @@ def build_parser() -> argparse.ArgumentParser:
             s.add_argument("--sequential", action="store_true",
                            help="search one image at a time instead of "
                                 "batching a directory's trees on device")
+            s.add_argument("--tree_backend", default="device",
+                           choices=["device", "host"],
+                           help="'device' (default): the whole PUCB search "
+                                "runs as one XLA program (fixed-size node "
+                                "arrays, lax.scan); 'host': tree logic on "
+                                "host, one fused dispatch per iteration")
     return p
 
 

@@ -1,0 +1,114 @@
+"""Device-resident MCTS (inference/mcts_device.py) parity with the host-
+tree backend: same RNG streams + same (quantized) value function must give
+the same expanded-node sequence, the same child priors, the same rollout
+rewards, and the same final score — the whole search runs as ONE XLA
+program on the device side, so this pins the on-device selection /
+backprop / bookkeeping against the host implementation (which is itself
+pinned against torch restatements of the reference in test_mcts*.py)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dt4image_restoration_tpu.config import MCTSConfig, ModelConfig
+from dt4image_restoration_tpu.data import make_mat_record
+from dt4image_restoration_tpu.inference.mcts import MCTS
+from dt4image_restoration_tpu.inference.mcts_device import DeviceMCTS
+from dt4image_restoration_tpu.models import DecisionTransformer
+from dt4image_restoration_tpu.models.decision_transformer import (
+    init_dt_params)
+
+CFG = ModelConfig(block_size=18, n_embeds=9, mode="norm")
+SEARCH = MCTSConfig(iterations=4, max_timesteps=8)
+
+
+def dt_apply(params, rtg, states, timesteps, task, actions):
+    return DecisionTransformer(CFG).apply(
+        {"params": params}, rtg, states, timesteps, task, actions)
+
+
+def stub_denoise(img, sigma):
+    return jnp.clip(0.85 * img + 0.05 + 0.1 * sigma[:, None, None, None],
+                    0.0, 1.0)
+
+
+def quantized_value_jax(x):
+    """(B, H, W) -> (B,). Coarse quantization makes the PUCB branching
+    immune to cross-compilation reduction-order epsilon, so host and
+    device searches see bit-identical rewards."""
+    return jnp.round(jnp.mean(x, axis=(1, 2)) * 1e3) / 10.0
+
+
+_jit_q = jax.jit(quantized_value_jax)
+
+
+def quantized_value_host(x):
+    return float(_jit_q(jnp.asarray(x, jnp.float32).reshape(
+        1, x.shape[-2], x.shape[-1]))[0])
+
+
+def _record(seed=0):
+    mat = make_mat_record(seed=seed)
+    mat = dict(mat)
+    mat["x0"] = np.clip(mat["x0"], 0, None)
+    states = mat["x0"][..., 0].reshape(1, -1).astype(np.float32)
+    rtg = np.full((1, 1), 0.6, np.float32)
+    return (states, rtg, np.zeros(3, np.float32),
+            np.asarray([2], np.int32)), mat
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_dt_params(CFG, seed=0)
+
+
+@pytest.fixture(scope="module")
+def host(params):
+    return MCTS(dt_apply=dt_apply, dt_params=params, denoise=stub_denoise,
+                model_cfg=CFG, cfg=SEARCH, value_fn=quantized_value_host,
+                record_trace=True)
+
+
+@pytest.fixture(scope="module")
+def device(params):
+    return DeviceMCTS(dt_apply=dt_apply, dt_params=params,
+                      denoise=stub_denoise, model_cfg=CFG, cfg=SEARCH,
+                      value_fn=quantized_value_host,
+                      value_fn_jax=quantized_value_jax,
+                      record_trace=True)
+
+
+def test_device_search_matches_host_backend(host, device):
+    records = [_record(seed=2), _record(seed=5)]
+    seeds = [11, 13]
+    want = host.run_batch(records, seeds=seeds)
+    host_traces = host.traces
+    got = device.run_batch(records, seeds=seeds)
+    dev_traces = device.traces
+
+    for j in range(len(records)):
+        for it, (h, d) in enumerate(zip(host_traces[j], dev_traces[j])):
+            assert (h["time"], h["edge"], h["index"]) == \
+                (d["time"], d["edge"], d["index"]), (j, it)
+            np.testing.assert_allclose(h["probs"], d["probs"], rtol=1e-5)
+            np.testing.assert_allclose(h["reward"], d["reward"],
+                                       rtol=1e-5)
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_device_search_deterministic(device):
+    r = _record(seed=3)
+    a = device.run_batch([r], seeds=[7])
+    b = device.run_batch([r], seeds=[7])
+    assert a == b
+
+
+def test_device_search_single_equals_batched(device):
+    """A tree's result must not depend on its batch companions beyond
+    reduction-order epsilon (lockstep invariance, same contract as the
+    host backend's test_batched_mcts_equivalence)."""
+    r = _record(seed=4)
+    solo = device.run_batch([r], seeds=[9])
+    twins = device.run_batch([r, r], seeds=[9, 9])
+    assert twins[0] == twins[1]
+    np.testing.assert_allclose(solo[0], twins[0], rtol=1e-4)

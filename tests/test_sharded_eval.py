@@ -85,6 +85,30 @@ def test_sharded_mcts_runs_and_is_deterministic(params):
     assert r1 == r2
 
 
+def test_sharded_device_mcts_runs_and_is_deterministic(params):
+    """The device-resident search (one XLA program for the whole search)
+    sharded over the 8-device mesh: same contract as the host backend —
+    padding dropped, deterministic given seeds."""
+    from dt4image_restoration_tpu.config import MCTSConfig
+    from dt4image_restoration_tpu.inference.mcts_device import DeviceMCTS
+    from dt4image_restoration_tpu.models.arniqa import (
+        proxy_value_fn, proxy_value_fn_jax)
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    mcts = DeviceMCTS(
+        dt_apply=dt_apply, dt_params=params, denoise=stub_denoise,
+        model_cfg=CFG, cfg=MCTSConfig(iterations=3, max_timesteps=8),
+        value_fn=proxy_value_fn, value_fn_jax=proxy_value_fn_jax,
+        mesh=mesh)
+    records = _records(3)
+    with mesh:
+        r1 = mcts.run_batch(records, seeds=[5, 6, 7])
+        r2 = mcts.run_batch(records, seeds=[5, 6, 7])
+    assert len(r1) == 3
+    assert all(np.isfinite(v) and 0 < v < 60 for v in r1)
+    assert r1 == r2
+
+
 def test_prefetch_to_device(rng):
     mesh = make_mesh(n_data=8, n_model=1)
     batches = [{
