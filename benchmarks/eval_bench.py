@@ -121,6 +121,15 @@ def main() -> None:
     results["mcts_device_7img_s"] = round(wall, 3)
     results["mcts_device_s_per_image"] = round(wall / 7, 3)
 
+    # Tree-batch scaling (memory: ~125 MB/tree of node states + buffers).
+    for b in (16, 32):
+        recs_b = records(b)
+        dm.run_batch(recs_b)  # compile (new batch shape)
+        t0 = time.perf_counter()
+        dm.run_batch(recs_b, seeds=list(range(b)))
+        results[f"mcts_device_s_per_image_b{b}"] = round(
+            (time.perf_counter() - t0) / b, 3)
+
     print(json.dumps(results))
 
 

@@ -113,6 +113,7 @@ class DeviceMCTS(MCTS):
 
             best_reward = jnp.full((n,), -jnp.inf, f32)
             best_final = jnp.zeros_like(root_env.gt)  # (n, 1, H, W)
+            best_ep = jnp.zeros((n,), i32)
 
             def select(first_child, prob, reward, visits):
                 """PUCB descent (mcts.py:74-88; host select_p_ucb parity:
@@ -175,7 +176,7 @@ class DeviceMCTS(MCTS):
             def body(carry, it):
                 (node_x, node_z, node_u, node_T, parent, first_child, time,
                  prob, reward, visits, policy_rtg, buf_id, bank,
-                 best_reward, best_final) = carry
+                 best_reward, best_final, best_ep) = carry
                 i, z_i = it
 
                 leaf, visits = select(first_child, prob, reward, visits)
@@ -189,7 +190,7 @@ class DeviceMCTS(MCTS):
                 bufs = jax.tree.map(lambda b: b[tr, bid], bank
                                     ).replace(task=task)
 
-                (_, pred_rtg, probs, stepped, new_bufs, finals, _
+                (_, pred_rtg, probs, stepped, new_bufs, finals, ep_len
                  ) = self._search_iter_fn(
                     params, bufs, t_vec, env, policy_rtg[tr, leaf],
                     z_i[:, :K], z_i[:, K:])
@@ -223,28 +224,34 @@ class DeviceMCTS(MCTS):
                 best_reward = jnp.where(better, r, best_reward)
                 best_final = jnp.where(better[:, None, None, None], finals,
                                        best_final)
+                best_ep = jnp.where(better, ep_len.astype(i32), best_ep)
 
                 trace = (leaf, t_vec, probs, r)
                 return (node_x, node_z, node_u, node_T, parent, first_child,
                         time, prob, reward, visits, policy_rtg, buf_id,
-                        bank, best_reward, best_final), trace
+                        bank, best_reward, best_final, best_ep), trace
 
             carry = (node_x, node_z, node_u, node_T, parent, first_child,
                      time, prob, reward, visits, policy_rtg, buf_id, bank,
-                     best_reward, best_final)
+                     best_reward, best_final, best_ep)
             carry, traces = jax.lax.scan(
                 body, carry, (jnp.arange(I, dtype=i32), z_all))
-            best_final = carry[-1]
+            best_final, best_ep = carry[-2], carry[-1]
             # Final score: PSNR of the best program's stored terminal image
             # vs gt (mcts.py:165-192; argument order immaterial — symmetric
             # MSE over [0,1] images, same as the host backend).
             final_reward = psnr(root_env.gt, best_final)[:, 0]
-            return final_reward, traces
+            return final_reward, best_final, best_ep, traces
 
         self._search_all = jax.jit(search_all)
 
-    def run_batch(self, records, seeds=None) -> list:
-        """Search N trees in lockstep with ONE device dispatch total."""
+    def run_batch(self, records, seeds=None, detailed: bool = False) -> list:
+        """Search N trees in lockstep with ONE device dispatch total.
+
+        ``detailed=True`` returns per-image dicts
+        ``{"reward", "image" (H, W), "episode_len"}`` for the best program
+        (the serving layer's unit of work) instead of bare rewards.
+        """
         n_out = len(records)
         self.traces = None
         if seeds is None:
@@ -281,7 +288,7 @@ class DeviceMCTS(MCTS):
             env_state = jax.tree.map(shard, env_state)
             root_bufs = jax.tree.map(shard, root_bufs)
 
-        final_reward, traces = self._search_all(
+        final_reward, best_final, best_ep, traces = self._search_all(
             self.dt_params, root_bufs, env_state, rtg0,
             jnp.asarray(z_all))
         final_reward = np.asarray(final_reward)[:n_out]
@@ -305,4 +312,10 @@ class DeviceMCTS(MCTS):
         for v in final_reward:
             print("MCTS Reward: ", float(v))
             out.append(float(v))
+        if detailed:
+            images = np.asarray(best_final)[:n_out, 0]
+            eps = np.asarray(best_ep)[:n_out]
+            return [{"reward": out[i], "image": images[i],
+                     "episode_len": int(eps[i])}
+                    for i in range(n_out)]
         return out

@@ -6,9 +6,13 @@ fixed-shape device batches (one compiled XLA program per shape — no
 recompiles in steady state), pads partial batches, and resolves each
 request with its restored image and metrics.
 
-Two modes:
+Three modes:
   * ``policy``  — DT-guided greedy restoration (the eval path)
   * ``fixed``   — fixed-(mu, sigma_d) PnP-ADMM (no policy; config-1 path)
+  * ``mcts``    — device-resident PUCB tree search per slice (the mcts
+    path); the whole batch of searches is one XLA program
+    (inference/mcts_device.py), so search-grade restoration serves at
+    interactive latency
 """
 from __future__ import annotations
 
@@ -62,9 +66,11 @@ class RestorationService:
                  mode: str = "policy", batch_size: int = 8,
                  max_timesteps: int = 30, mu: float = 0.5,
                  sigma_d: float = 15.0 / 255.0,
-                 max_delay_s: float = 0.01) -> None:
-        if mode == "policy" and (cfg is None or dt_apply is None):
-            raise ValueError("policy mode needs cfg + dt_apply + dt_params")
+                 max_delay_s: float = 0.01,
+                 search_cfg: Any = None,
+                 value_fn_jax: Optional[Callable] = None) -> None:
+        if mode in ("policy", "mcts") and (cfg is None or dt_apply is None):
+            raise ValueError(f"{mode} mode needs cfg + dt_apply + dt_params")
         self.mode = mode
         self.batch_size = batch_size
         self.max_timesteps = max_timesteps
@@ -84,6 +90,17 @@ class RestorationService:
 
             self._program = jax.jit(run)
             self._dt_params = dt_params
+        elif mode == "mcts":
+            from dt4image_restoration_tpu.config import MCTSConfig
+            from dt4image_restoration_tpu.inference.mcts_device import (
+                DeviceMCTS)
+            from dt4image_restoration_tpu.models.arniqa import (
+                proxy_value_fn)
+            self._mcts = DeviceMCTS(
+                dt_apply=dt_apply, dt_params=dt_params, denoise=denoise,
+                model_cfg=cfg,
+                cfg=search_cfg or MCTSConfig(max_timesteps=max_timesteps),
+                value_fn=proxy_value_fn, value_fn_jax=value_fn_jax)
         else:
             def run_fixed(env_state):
                 final, _ = fixed_param_rollout(
@@ -175,6 +192,22 @@ class RestorationService:
         mats["x0"] = np.clip(mats["x0"], 0, None)
         env_state = reset_from_mat(mats)
 
+        if self.mode == "mcts":
+            # One device program searches the whole padded batch; a fixed
+            # per-request seed keeps results independent of batch
+            # composition (the trees are lockstep but isolated, tested).
+            recs = []
+            for i, r in enumerate(padded):
+                m = {k: v[i:i + 1] for k, v in mats.items()}
+                recs.append(((None, np.float32(r.rtg), None,
+                              np.int32(r.task)), m))
+            results = self._mcts.run_batch(
+                recs, seeds=[self._mcts.cfg.seed] * len(recs),
+                detailed=True)[:n]
+            return [RestorationResult(
+                image=np.clip(res["image"], 0.0, 1.0),
+                psnr_db=res["reward"] if has_gt else None,
+                episode_len=res["episode_len"]) for res in results]
         if self.mode == "policy":
             # Policy initial observation reads the UNCLIPPED x0, matching
             # the eval dataset path (reference datasets.py:160-164: the clip

@@ -155,3 +155,32 @@ def test_proxy_value_prefers_clean_over_noisy():
         clean + np.random.default_rng(0).normal(0, 0.15, clean.shape), 0, 1
     ).astype(np.float32)
     assert proxy_value_fn(clean) > proxy_value_fn(noisy)
+
+
+def test_value_fn_jax_matches_host_wrapper(hub_like_state_dict):
+    """The batched jit twin used by the device-resident search
+    (make_value_fn_jax) must score like the per-image host wrapper."""
+    from dt4image_restoration_tpu.models.arniqa import make_value_fn_jax
+    _, full = hub_like_state_dict
+    variables = convert_arniqa_state_dict(full)
+    host = make_value_fn(variables)
+    batched = make_value_fn_jax(variables)
+    xs = np.random.default_rng(2).uniform(0, 1, (3, 128, 128)).astype(
+        np.float32)
+    got = np.asarray(batched(jnp.asarray(xs)))
+    want = [host(x[None]) for x in xs]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_proxy_value_fn_jax_matches_numpy():
+    from dt4image_restoration_tpu.data import shepp_logan
+    from dt4image_restoration_tpu.models.arniqa import proxy_value_fn_jax
+    clean = shepp_logan(128)[None]
+    noisy = np.clip(
+        clean + np.random.default_rng(0).normal(0, 0.15, clean.shape), 0, 1
+    ).astype(np.float32)
+    xs = np.concatenate([clean, noisy])
+    got = np.asarray(proxy_value_fn_jax(jnp.asarray(xs)))
+    want = [proxy_value_fn(x) for x in xs]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    assert got[0] > got[1]  # same clean-over-noisy preference

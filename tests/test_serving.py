@@ -124,3 +124,44 @@ def test_concurrent_submissions(params):
         svc.close()
     assert len(outs) == 6
     assert all(np.isfinite(v.psnr_db) for v in outs.values())
+
+
+def test_mcts_mode_matches_direct_device_search(params):
+    """Serving's mcts mode must reproduce a direct DeviceMCTS search
+    (same fixed per-request seed), including the best program's image and
+    episode length."""
+    from dt4image_restoration_tpu.config import MCTSConfig
+    from dt4image_restoration_tpu.inference.mcts_device import DeviceMCTS
+    from dt4image_restoration_tpu.models.arniqa import (
+        proxy_value_fn, proxy_value_fn_jax)
+
+    search = MCTSConfig(iterations=2, max_timesteps=MAXT, seed=3)
+    svc = RestorationService(denoise=stub_denoise, cfg=CFG,
+                             dt_apply=dt_apply, dt_params=params,
+                             mode="mcts", batch_size=3,
+                             max_timesteps=MAXT, search_cfg=search,
+                             value_fn_jax=proxy_value_fn_jax)
+    reqs = _requests(3)
+    try:
+        results = svc.restore(reqs)
+    finally:
+        svc.close()
+
+    direct = DeviceMCTS(
+        dt_apply=dt_apply, dt_params=params, denoise=stub_denoise,
+        model_cfg=CFG, cfg=search, value_fn=proxy_value_fn,
+        value_fn_jax=proxy_value_fn_jax)
+    recs = []
+    for r in reqs:
+        mat = dict(r.mat)
+        mat["x0"] = np.clip(mat["x0"], 0, None)  # serving's env-path clip
+        recs.append(((None, np.float32(r.rtg), None, np.int32(r.task)),
+                     mat))
+    want = direct.run_batch(recs, seeds=[search.seed] * 3, detailed=True)
+
+    assert len(results) == 3
+    for got, ref in zip(results, want):
+        np.testing.assert_allclose(got.psnr_db, ref["reward"], rtol=1e-5)
+        np.testing.assert_allclose(
+            got.image, np.clip(ref["image"], 0, 1), rtol=1e-5, atol=1e-6)
+        assert got.episode_len == ref["episode_len"]
