@@ -130,6 +130,26 @@ def main() -> None:
         results[f"mcts_device_s_per_image_b{b}"] = round(
             (time.perf_counter() - t0) / b, 3)
 
+    # Device search with the full ARNIQA scorer (ResNet-50 x2 scales)
+    # embedded in the program — the production value model (random weights;
+    # compute cost is weight-independent).
+    from dt4image_restoration_tpu.models.arniqa import (
+        convert_arniqa_state_dict, make_value_fn_jax)
+    from dt4image_restoration_tpu.utils.torch_reference import (
+        random_arniqa_state_dict)
+    sd = random_arniqa_state_dict(0)
+    am = DeviceMCTS(dt_apply=dt_apply, dt_params=dt_params,
+                    denoise=denoise, model_cfg=cfg,
+                    cfg=MCTSConfig(iterations=30),
+                    value_fn=proxy_value_fn,
+                    value_fn_jax=make_value_fn_jax(
+                        convert_arniqa_state_dict(sd)))
+    am.run_batch(recs7)  # compile
+    t0 = time.perf_counter()
+    am.run_batch(recs7, seeds=list(range(7)))
+    results["mcts_device_arniqa_s_per_image"] = round(
+        (time.perf_counter() - t0) / 7, 3)
+
     print(json.dumps(results))
 
 

@@ -96,20 +96,39 @@ def background_batches(iterator, size: int = 2):
 
     q: "queue_mod.Queue" = queue_mod.Queue(maxsize=size)
     _END = object()
+    stop = threading.Event()
 
     def worker():
         try:
             for item in iterator:
-                q.put(item)
+                # Bounded-wait put so an abandoned consumer (early exit on
+                # preemption) releases this thread instead of leaking it
+                # blocked on a full queue.
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue_mod.Full:
+                        continue
+                if stop.is_set():
+                    return
         finally:
-            q.put(_END)
+            while not stop.is_set():
+                try:
+                    q.put(_END, timeout=0.1)
+                    break
+                except queue_mod.Full:
+                    continue
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            yield item
+    finally:
+        stop.set()
 
 
 def prefetch_to_device(iterator, mesh: Mesh, size: int = 2):

@@ -146,6 +146,30 @@ class Trainer:
             background_batches)
         from dt4image_restoration_tpu.utils.profiling import StepTimer
 
+        # Preemption safety (TPU pods are preemptible; the reference has no
+        # recovery story, SURVEY.md §5 failure-detection row): SIGTERM/
+        # SIGINT requests a stop, the loop checkpoints full resume state at
+        # the next step boundary and returns cleanly.
+        import signal
+        self._stop_requested = False
+        prev_handlers = {}
+
+        def _request_stop(signum, frame):  # pragma: no cover - trivial
+            self._stop_requested = True
+
+        try:
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                prev_handlers[sig] = signal.signal(sig, _request_stop)
+        except ValueError:
+            prev_handlers = {}  # not the main thread; run unguarded
+
+        try:
+            return self._train_loop(background_batches, StepTimer)
+        finally:
+            for sig, h in prev_handlers.items():
+                signal.signal(sig, h)
+
+    def _train_loop(self, background_batches, StepTimer) -> TrainState:
         rng = jax.random.PRNGKey(self.config.seed)
         losses = []
         self.step_timer = StepTimer()
@@ -159,6 +183,13 @@ class Trainer:
                 losses.append(loss)
                 if self._wandb:
                     self._wandb.log({"loss": float(loss)})
+                if self._stop_requested:
+                    self._save_resume_state()
+                    logger.warning(
+                        "stop requested (preemption signal); resume state "
+                        "saved at step %d", int(self.state.step))
+                    self.last_losses = [float(l) for l in losses[-10:]]
+                    return self.state
             dur = time.time() - t0
             logger.debug("Epoch %d done in %.1fs", epoch, dur)
             if self._wandb:
@@ -180,3 +211,11 @@ class Trainer:
         self.last_losses = [float(l) for l in losses[-10:]]
         logger.info("step timing: %s", self.step_timer.summary())
         return self.state
+
+    def _save_resume_state(self) -> None:
+        if self.checkpoint_dir and jax.process_index() == 0:
+            from dt4image_restoration_tpu.utils.checkpoint import (
+                save_checkpoint)
+            save_checkpoint(
+                os.path.join(self.checkpoint_dir, "state_latest"),
+                jax.device_get(self.state))

@@ -136,3 +136,57 @@ def torch_admm_rollout(sd, mat: Mapping[str, np.ndarray], mu: float,
     mse = torch.mean((out - gt) ** 2)
     psnr = float(10 * torch.log10(1.0 / mse))
     return out.numpy(), psnr
+
+
+RESNET50_STAGES = (3, 4, 6, 3)
+
+
+def random_resnet50_state_dict(seed: int = 0) -> Dict[str, "object"]:
+    """Random weights with torchvision ResNet-50 state_dict naming — the
+    encoder layout the ARNIQA hub checkpoint uses (reference env.py:36-40;
+    torchvision and the hub download are unavailable here, so converters
+    and benchmarks exercise the exact key naming on random weights)."""
+    import torch
+    gen = torch.Generator().manual_seed(seed)
+    sd: Dict[str, "object"] = {}
+
+    def conv(name, c_out, c_in, k):
+        sd[name + ".weight"] = 0.05 * torch.randn(c_out, c_in, k, k,
+                                                  generator=gen)
+
+    def bn(name, c):
+        sd[name + ".weight"] = 1 + 0.1 * torch.randn(c, generator=gen)
+        sd[name + ".bias"] = 0.1 * torch.randn(c, generator=gen)
+        sd[name + ".running_mean"] = 0.1 * torch.randn(c, generator=gen)
+        sd[name + ".running_var"] = 1 + 0.2 * torch.rand(c, generator=gen)
+
+    conv("conv1", 64, 3, 7)
+    bn("bn1", 64)
+    c_in = 64
+    for stage, n_blocks in enumerate(RESNET50_STAGES):
+        feats = 64 * (2 ** stage)
+        for block in range(n_blocks):
+            p = f"layer{stage + 1}.{block}."
+            conv(p + "conv1", feats, c_in, 1)
+            bn(p + "bn1", feats)
+            conv(p + "conv2", feats, feats, 3)
+            bn(p + "bn2", feats)
+            conv(p + "conv3", 4 * feats, feats, 1)
+            bn(p + "bn3", 4 * feats)
+            if block == 0:
+                conv(p + "downsample.0", 4 * feats, c_in, 1)
+                bn(p + "downsample.1", 4 * feats)
+            c_in = 4 * feats
+    return sd
+
+
+def random_arniqa_state_dict(seed: int = 0) -> Dict[str, "object"]:
+    """Hub-layout ARNIQA state dict (``encoder.model.*`` ResNet-50 +
+    ``regressor``) with random weights."""
+    import torch
+    gen = torch.Generator().manual_seed(seed)
+    full = {"encoder.model." + k: v
+            for k, v in random_resnet50_state_dict(seed).items()}
+    full["regressor.weight"] = 0.01 * torch.randn(1, 4096, generator=gen)
+    full["regressor.bias"] = 0.01 * torch.randn(1, generator=gen)
+    return full

@@ -12,42 +12,9 @@ import pytest
 from dt4image_restoration_tpu.models.arniqa import (
     ARNIQA, ResNet50, convert_arniqa_state_dict, make_value_fn,
     proxy_value_fn)
-
-STAGES = (3, 4, 6, 3)
-
-
-def _make_resnet50_state_dict(gen):
-    """Random weights with torchvision ResNet-50 state_dict naming."""
-    sd = {}
-
-    def conv(name, c_out, c_in, k):
-        sd[name + ".weight"] = 0.05 * torch.randn(c_out, c_in, k, k,
-                                                  generator=gen)
-
-    def bn(name, c):
-        sd[name + ".weight"] = 1 + 0.1 * torch.randn(c, generator=gen)
-        sd[name + ".bias"] = 0.1 * torch.randn(c, generator=gen)
-        sd[name + ".running_mean"] = 0.1 * torch.randn(c, generator=gen)
-        sd[name + ".running_var"] = 1 + 0.2 * torch.rand(c, generator=gen)
-
-    conv("conv1", 64, 3, 7)
-    bn("bn1", 64)
-    c_in = 64
-    for stage, n_blocks in enumerate(STAGES):
-        feats = 64 * (2 ** stage)
-        for block in range(n_blocks):
-            p = f"layer{stage + 1}.{block}."
-            conv(p + "conv1", feats, c_in, 1)
-            bn(p + "bn1", feats)
-            conv(p + "conv2", feats, feats, 3)
-            bn(p + "bn2", feats)
-            conv(p + "conv3", 4 * feats, feats, 1)
-            bn(p + "bn3", 4 * feats)
-            if block == 0:
-                conv(p + "downsample.0", 4 * feats, c_in, 1)
-                bn(p + "downsample.1", 4 * feats)
-            c_in = 4 * feats
-    return sd
+from dt4image_restoration_tpu.utils.torch_reference import (
+    RESNET50_STAGES as STAGES, random_arniqa_state_dict,
+    random_resnet50_state_dict)
 
 
 def _torch_resnet50_features(sd, x):
@@ -85,12 +52,9 @@ def _torch_resnet50_features(sd, x):
 
 @pytest.fixture(scope="module")
 def hub_like_state_dict():
-    gen = torch.Generator().manual_seed(0)
-    sd = _make_resnet50_state_dict(gen)
-    full = {"encoder.model." + k: v for k, v in sd.items()}
-    full["regressor.weight"] = 0.01 * torch.randn(1, 4096, generator=gen)
-    full["regressor.bias"] = 0.01 * torch.randn(1, generator=gen)
-    return sd, full
+    # Same seed -> random_arniqa_state_dict's encoder weights equal the
+    # unprefixed ResNet-50 dict the torch restatement consumes.
+    return random_resnet50_state_dict(0), random_arniqa_state_dict(0)
 
 
 def test_resnet50_parity(hub_like_state_dict):

@@ -98,3 +98,57 @@ def test_trainer_resume(tmp_path, rng):
                        resume_from=str(tmp_path / "state_latest"))
     final2 = trainer2.train()
     assert int(final2.step) == 2
+
+
+def test_trainer_preemption_checkpoint(tmp_path, rng):
+    """SIGTERM mid-training (TPU preemption) saves full resume state at the
+    next step boundary and returns cleanly; a fresh trainer resumes from
+    exactly that step."""
+    import os as _os
+    import signal
+
+    from dt4image_restoration_tpu.training import (
+        TrainState, Trainer, make_optimizer, make_train_step)
+
+    cfg = ModelConfig(block_size=18, n_embeds=9, dropout=0.0,
+                      embd_dropout=0.0)
+    params = init_dt_params(cfg, seed=0)
+    tcfg = TrainerConfig(max_epochs=1, save_every=5, batch_size=2)
+    optimizer = make_optimizer(tcfg, max_steps=10, params=params)
+    step_fn = make_train_step(make_dt_apply(cfg, train=True), optimizer)
+
+    def one_batch():
+        r, s, ts, task, a = _inputs(rng)
+        return {"rtg": np.asarray(r), "states": np.asarray(s),
+                "timesteps": np.asarray(ts), "task": np.asarray(task),
+                "actions": np.asarray(a),
+                "traj_masks": np.ones((2, 6, 1), np.float32)}
+
+    def batches(_):
+        yield one_batch()
+        yield one_batch()
+        # Preemption arrives while assembling the third batch.
+        _os.kill(_os.getpid(), signal.SIGTERM)
+        yield one_batch()
+        yield one_batch()
+
+    state = TrainState(params=params, opt_state=optimizer.init(params),
+                       step=jnp.zeros((), jnp.int32))
+    trainer = Trainer(train_step=step_fn, state=state, config=tcfg,
+                      batches=batches, shard=lambda b: b,
+                      checkpoint_dir=str(tmp_path))
+    final = trainer.train()
+    # Stopped early (4 batches queued; the signal lands by batch 3) and the
+    # resume checkpoint exists even though save_every epochs never elapsed.
+    assert int(final.step) < 4
+    assert os.path.isdir(tmp_path / "state_latest")
+
+    state2 = TrainState(params=init_dt_params(cfg, seed=1),
+                        opt_state=optimizer.init(params),
+                        step=jnp.zeros((), jnp.int32))
+    trainer2 = Trainer(train_step=step_fn, state=state2, config=tcfg,
+                       batches=lambda _: iter([one_batch()]),
+                       shard=lambda b: b, checkpoint_dir=None,
+                       resume_from=str(tmp_path / "state_latest"))
+    final2 = trainer2.train()
+    assert int(final2.step) == int(final.step) + 1
