@@ -150,6 +150,32 @@ def main() -> None:
     results["mcts_device_arniqa_s_per_image"] = round(
         (time.perf_counter() - t0) / 7, 3)
 
+    # Full-length episodes — the trained-policy regime. Random weights stop
+    # at t~2 (T > 0.5 fires early), flattering the numbers above; pin the
+    # stop head low (sigmoid(-8) ~ 0: column 0 = T in norm mode,
+    # decision_transformer.py _transform_actions) so every episode runs all
+    # 30 steps, and remeasure on the SAME compiled programs (only weights
+    # change).
+    full_params = jax.tree.map(np.array, dt_params)
+    full_params["predict_action"]["kernel"][:, 0] = 0.0
+    full_params["predict_action"]["bias"][0] = -8.0
+
+    ev.dt_params = full_params
+    m = ev.evaluate_records(recs)  # warm (same program)
+    t0 = time.perf_counter()
+    m = ev.evaluate_records(recs)
+    results["greedy_eval_full30_7img_s"] = round(
+        time.perf_counter() - t0, 3)
+    results["greedy_eval_full30_mean_episode_len"] = float(
+        np.mean(m["episode_len"]))
+
+    dm.dt_params = full_params
+    dm.run_batch(recs7)  # warm
+    t0 = time.perf_counter()
+    dm.run_batch(recs7, seeds=list(range(7)))
+    results["mcts_device_full30_s_per_image"] = round(
+        (time.perf_counter() - t0) / 7, 3)
+
     print(json.dumps(results))
 
 

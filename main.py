@@ -233,17 +233,26 @@ def cmd_mcts(args) -> None:
                           **common)
     dirs = args.data_dirs or EVAL_DIRS_9
     total = 0.0
-    for path in (d for d in dirs if os.path.isdir(d)):
-        ds = EvaluationDataset(path, rtg_target=rtg_target,
-                               kind="optimal")
-        records = [ds[i] for i in range(len(ds))]
-        seeds = [args.seed + i for i in range(len(records))]
-        if args.sequential:
-            total += sum(mcts.run(r, seed=s)
-                         for r, s in zip(records, seeds))
-        else:
-            # All of a directory's trees advance in lockstep on device.
-            total += sum(mcts.run_batch(records, seeds=seeds))
+    if args.sequential:
+        for path in (d for d in dirs if os.path.isdir(d)):
+            ds = EvaluationDataset(path, rtg_target=rtg_target,
+                                   kind="optimal")
+            for i in range(len(ds)):
+                total += mcts.run(ds[i], seed=args.seed + i)
+    else:
+        # All directories' trees advance in lockstep, chunked at the
+        # measured throughput knee (benchmarks/RESULTS.md: ~B=16) so every
+        # chunk shares one compiled program shape and one dispatch.
+        records = []
+        for path in (d for d in dirs if os.path.isdir(d)):
+            ds = EvaluationDataset(path, rtg_target=rtg_target,
+                                   kind="optimal")
+            records += [(ds[i], args.seed + i) for i in range(len(ds))]
+        b = args.search_batch
+        for off in range(0, len(records), b):
+            chunk = records[off:off + b]
+            total += sum(mcts.run_batch([r for r, _ in chunk],
+                                        seeds=[s for _, s in chunk]))
     print("Total MCTS reward:", total)
 
 
@@ -295,6 +304,9 @@ def build_parser() -> argparse.ArgumentParser:
             s.add_argument("--sequential", action="store_true",
                            help="search one image at a time instead of "
                                 "batching a directory's trees on device")
+            s.add_argument("--search_batch", type=int, default=16,
+                           help="trees searched per device dispatch "
+                                "(throughput knee ~16, RESULTS.md)")
             s.add_argument("--tree_backend", default="device",
                            choices=["device", "host"],
                            help="'device' (default): the whole PUCB search "

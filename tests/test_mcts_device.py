@@ -112,3 +112,26 @@ def test_device_search_single_equals_batched(device):
     twins = device.run_batch([r, r], seeds=[9, 9])
     assert twins[0] == twins[1]
     np.testing.assert_allclose(solo[0], twins[0], rtol=1e-4)
+
+
+def test_device_search_deep_trees_match_host(params):
+    """More iterations than max_timesteps: descent can push leaves to the
+    t == maxT boundary where buffer writes clamp (the a93a9d0 OOB fix) —
+    the device backend must track the host trace there too."""
+    deep = MCTSConfig(iterations=6, max_timesteps=6)
+    host = MCTS(dt_apply=dt_apply, dt_params=params, denoise=stub_denoise,
+                model_cfg=CFG, cfg=deep, value_fn=quantized_value_host,
+                record_trace=True)
+    device = DeviceMCTS(dt_apply=dt_apply, dt_params=params,
+                        denoise=stub_denoise, model_cfg=CFG, cfg=deep,
+                        value_fn=quantized_value_host,
+                        value_fn_jax=quantized_value_jax,
+                        record_trace=True)
+    r = _record(seed=6)
+    want = host.run_batch([r], seeds=[21])
+    got = device.run_batch([r], seeds=[21])
+    for h, d in zip(host.traces[0], device.traces[0]):
+        assert (h["time"], h["edge"], h["index"]) == \
+            (d["time"], d["edge"], d["index"])
+        np.testing.assert_allclose(h["reward"], d["reward"], rtol=1e-5)
+    np.testing.assert_allclose(got, want, rtol=1e-4)
