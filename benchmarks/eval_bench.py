@@ -169,10 +169,15 @@ def main() -> None:
     results["greedy_eval_full30_mean_episode_len"] = float(
         np.mean(m["episode_len"]))
 
-    dm.dt_params = full_params
-    dm.run_batch(recs7)  # warm
+    # A fresh instance (not a dt_params swap): MCTS buffer-seeding programs
+    # bake the construction-time weights (see mcts.py _seed_bufs note).
+    dm_full = DeviceMCTS(dt_apply=dt_apply, dt_params=full_params,
+                         denoise=denoise, model_cfg=cfg,
+                         cfg=MCTSConfig(iterations=30),
+                         value_fn=proxy_value_fn)
+    dm_full.run_batch(recs7)  # compile
     t0 = time.perf_counter()
-    dm.run_batch(recs7, seeds=list(range(7)))
+    dm_full.run_batch(recs7, seeds=list(range(7)))
     results["mcts_device_full30_s_per_image"] = round(
         (time.perf_counter() - t0) / 7, 3)
 

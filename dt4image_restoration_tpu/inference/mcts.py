@@ -259,6 +259,12 @@ class MCTS:
                         encode(params, ob)))
             return new
 
+        # NOTE: dt_params is deliberately closure-captured (and therefore
+        # jit-baked as constants) here: constant-folding makes the seeded
+        # state_embs BIT-identical to the in-forward encoder path, which
+        # the cached-vs-uncached equality tests pin. Consequence: swapping
+        # ``self.dt_params`` after the first call does NOT update these two
+        # programs — construct a new instance to change weights.
         self._seed_bufs = jax.jit(
             lambda *a: seed_bufs(self.dt_params, *a))
         self._child_bufs = jax.jit(
@@ -402,6 +408,18 @@ class MCTS:
             [record],
             seeds=[self.cfg.seed if seed is None else seed])[0]
 
+    def _prepare_batch(self, records, seeds):
+        """Default per-tree seeds + mesh padding (padded trees are dropped
+        from outputs). Shared by both tree backends."""
+        n_out = len(records)
+        if seeds is None:
+            seeds = [self.cfg.seed + i for i in range(n_out)]
+        if self.mesh is not None:
+            pad = (-len(records)) % self.mesh.shape["data"]
+            records = list(records) + [records[-1]] * pad
+            seeds = list(seeds) + [seeds[-1]] * pad
+        return records, seeds, n_out
+
     def run_batch(self, records, seeds=None) -> list:
         """Advance N independent trees in lockstep with ONE fused device
         program per search iteration (see ``search_iter`` above): selection
@@ -415,13 +433,7 @@ class MCTS:
         batched search equals N sequential searches up to batching-induced
         float reordering.
         """
-        n_out = len(records)
-        if seeds is None:
-            seeds = [self.cfg.seed + i for i in range(n_out)]
-        if self.mesh is not None:
-            pad = (-len(records)) % self.mesh.shape["data"]
-            records = list(records) + [records[-1]] * pad
-            seeds = list(seeds) + [seeds[-1]] * pad
+        records, seeds, n_out = self._prepare_batch(records, seeds)
         n_trees = len(records)
         rngs = [np.random.default_rng(s) for s in seeds]
         self.traces = [[] for _ in records] if self.record_trace else None

@@ -33,16 +33,18 @@ arrays and the search becomes a ``lax.scan`` over iterations:
     expanded (descent stops only at childless nodes), so the memo never
     hits and the deterministic rollout recomputes identical values.
 
-One documented deviation from the host backend: if PUCB selection ever
-found NO child above the -1000 floor at an expanded node, the host loop
-(`while node.children: node = select_p_ucb(node)`) would spin forever re-
-selecting the fallback parent; the device descent instead expands that
-node again. Unreachable in practice (rewards are bounded quality scores,
-so ``child.reward - parent.reward > -1000`` always).
+The -1000 selection floor is mirrored exactly, including its recovery
+path: when no child clears the floor at an expanded node, the host loop
+(`while node.children`) re-selects that node (select_p_ucb's ``max_node =
+parent_node`` init) and inflates its visit count until the exploration
+term lifts a child over the floor; the device descent's ``retry`` lanes do
+the same (tested with a value scale that trips the floor).
 
 Parity: tests/test_mcts_device.py pins traces (expanded node sequence,
 child priors, rollout rewards) and final scores against the host backend
-on shared RNG streams.
+on shared RNG streams — including value sequences that trip the selection
+floor; ancestor max-backprop is unit-tested directly (:func:`max_backprop`
+is deliberately module-level for that).
 """
 from __future__ import annotations
 
@@ -57,6 +59,38 @@ from dt4image_restoration_tpu.env.pnp import CSMRIState, reset_from_mat
 from dt4image_restoration_tpu.inference.evaluator import EvalBuffers
 from dt4image_restoration_tpu.inference.mcts import MCTS
 from dt4image_restoration_tpu.ops import psnr
+
+
+def max_backprop(reward: jnp.ndarray, parent: jnp.ndarray,
+                 leaf: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
+    """Batched max-backprop (reference mcts.py:34-38): from each tree's
+    ``leaf``, ascend the ``parent`` chain setting ``reward`` to ``r`` while
+    it improves, stopping at the first non-improving ancestor (the host
+    ``Node.backprop`` early return).
+
+    ``parent`` must be the CURRENT parent-index array — callers inside a
+    scan must pass the carried value (a closure over the initial array
+    silently strands every update at the leaf; regression-tested).
+    """
+    n, n_nodes = reward.shape
+    tr = jnp.arange(n)
+
+    def cond(c):
+        cur, reward = c
+        safe = jnp.maximum(cur, 0)
+        return jnp.any((cur >= 0) & (r > reward[tr, safe]))
+
+    def body(c):
+        cur, reward = c
+        safe = jnp.maximum(cur, 0)
+        improve = (cur >= 0) & (r > reward[tr, safe])
+        # OOB scatter rows (non-improving lanes) are dropped.
+        idx = jnp.where(improve, safe, n_nodes)
+        reward = reward.at[tr, idx].set(r)
+        return jnp.where(improve, parent[tr, safe], -1), reward
+
+    _, reward = jax.lax.while_loop(cond, body, (leaf, reward))
+    return reward
 
 
 @dataclasses.dataclass
@@ -117,7 +151,12 @@ class DeviceMCTS(MCTS):
 
             def select(first_child, prob, reward, visits):
                 """PUCB descent (mcts.py:74-88; host select_p_ucb parity:
-                first strict max wins, NaN skipped, -1000 floor)."""
+                first strict max wins, NaN skipped, -1000 floor). When no
+                child clears the floor at an expanded node, the host's
+                ``while node.children`` loop re-selects the same node and
+                inflates its visit count until the exploration term lifts
+                a child over the floor — mirrored by the ``retry`` lanes,
+                which stay put and re-increment instead of stopping."""
                 visits = visits.at[:, 0].add(1)  # root pre-increment
 
                 def cond(c):
@@ -141,37 +180,19 @@ class DeviceMCTS(MCTS):
                              + ch_p * term[:, None] / (1.0 + ch_v))
                     score = jnp.where(jnp.isnan(score), -jnp.inf, score)
                     best_k = jnp.argmax(score, axis=1)  # first max
-                    advance = (~stopped & (fc >= 0)
-                               & (jnp.max(score, axis=1) > -1000.0))
+                    descend = ~stopped & (fc >= 0)
+                    advance = descend & (jnp.max(score, axis=1) > -1000.0)
+                    retry = descend & ~advance  # floor tripped: inflate
                     new_cur = jnp.where(advance, ch[tr, best_k], cur)
                     visits = visits.at[tr, new_cur].add(
-                        advance.astype(i32))
-                    return new_cur, visits, stopped | ~advance
+                        (advance | retry).astype(i32))
+                    return new_cur, visits, stopped | (fc < 0)
 
                 cur, visits, _ = jax.lax.while_loop(
                     cond, body,
                     (jnp.zeros((n,), i32), visits,
                      jnp.zeros((n,), bool)))
                 return cur, visits
-
-            def backprop(reward, leaf, r):
-                """Max-backprop (mcts.py:34-38): ascend while improving."""
-                def cond(c):
-                    cur, reward = c
-                    safe = jnp.maximum(cur, 0)
-                    return jnp.any((cur >= 0) & (r > reward[tr, safe]))
-
-                def body(c):
-                    cur, reward = c
-                    safe = jnp.maximum(cur, 0)
-                    improve = (cur >= 0) & (r > reward[tr, safe])
-                    # OOB scatter rows (non-improving lanes) are dropped.
-                    idx = jnp.where(improve, safe, n_nodes)
-                    reward = reward.at[tr, idx].set(r)
-                    return jnp.where(improve, parent[tr, safe], -1), reward
-
-                _, reward = jax.lax.while_loop(cond, body, (leaf, reward))
-                return reward
 
             def body(carry, it):
                 (node_x, node_z, node_u, node_T, parent, first_child, time,
@@ -218,8 +239,10 @@ class DeviceMCTS(MCTS):
                     bank, new_bufs.replace(task=None))
 
                 # finals: (n, 1, H, W) — the rollout's terminal estimates.
+                # max_backprop gets the CARRIED parent array (not a stale
+                # closure — regression-tested).
                 r = self.value_fn_jax(finals[:, 0]).astype(f32).reshape(n)
-                reward = backprop(reward, leaf, r)
+                reward = max_backprop(reward, parent, leaf, r)
                 better = r > best_reward
                 best_reward = jnp.where(better, r, best_reward)
                 best_final = jnp.where(better[:, None, None, None], finals,
@@ -245,21 +268,18 @@ class DeviceMCTS(MCTS):
 
         self._search_all = jax.jit(search_all)
 
-    def run_batch(self, records, seeds=None, detailed: bool = False) -> list:
+    def run_batch(self, records, seeds=None, detailed: bool = False,
+                  verbose: bool = True) -> list:
         """Search N trees in lockstep with ONE device dispatch total.
 
         ``detailed=True`` returns per-image dicts
         ``{"reward", "image" (H, W), "episode_len"}`` for the best program
         (the serving layer's unit of work) instead of bare rewards.
+        ``verbose=False`` suppresses the CLI-parity per-tree reward prints
+        (serving hot path).
         """
-        n_out = len(records)
         self.traces = None
-        if seeds is None:
-            seeds = [self.cfg.seed + i for i in range(n_out)]
-        if self.mesh is not None:
-            pad = (-len(records)) % self.mesh.shape["data"]
-            records = list(records) + [records[-1]] * pad
-            seeds = list(seeds) + [seeds[-1]] * pad
+        records, seeds, n_out = self._prepare_batch(records, seeds)
 
         I, K = self.cfg.iterations, self.cfg.n_children
         # Per-tree RNG stream order matches the host backend exactly:
@@ -310,7 +330,8 @@ class DeviceMCTS(MCTS):
 
         out = []
         for v in final_reward:
-            print("MCTS Reward: ", float(v))
+            if verbose:
+                print("MCTS Reward: ", float(v))
             out.append(float(v))
         if detailed:
             images = np.asarray(best_final)[:n_out, 0]

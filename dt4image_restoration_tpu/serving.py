@@ -190,7 +190,6 @@ class RestorationService:
         # The reference's eval dataset clips x0 at 0 before the env consumes
         # it (datasets.py:160,199); keep serving consistent with that path.
         mats["x0"] = np.clip(mats["x0"], 0, None)
-        env_state = reset_from_mat(mats)
 
         if self.mode == "mcts":
             # One device program searches the whole padded batch; a fixed
@@ -203,11 +202,13 @@ class RestorationService:
                               np.int32(r.task)), m))
             results = self._mcts.run_batch(
                 recs, seeds=[self._mcts.cfg.seed] * len(recs),
-                detailed=True)[:n]
+                detailed=True, verbose=False)[:n]
             return [RestorationResult(
                 image=np.clip(res["image"], 0.0, 1.0),
                 psnr_db=res["reward"] if has_gt else None,
                 episode_len=res["episode_len"]) for res in results]
+
+        env_state = reset_from_mat(mats)
         if self.mode == "policy":
             # Policy initial observation reads the UNCLIPPED x0, matching
             # the eval dataset path (reference datasets.py:160-164: the clip

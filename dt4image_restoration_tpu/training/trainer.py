@@ -188,8 +188,7 @@ class Trainer:
                     logger.warning(
                         "stop requested (preemption signal); resume state "
                         "saved at step %d", int(self.state.step))
-                    self.last_losses = [float(l) for l in losses[-10:]]
-                    return self.state
+                    return self._finalize(losses)
             dur = time.time() - t0
             logger.debug("Epoch %d done in %.1fs", epoch, dur)
             if self._wandb:
@@ -206,6 +205,11 @@ class Trainer:
                 save_checkpoint(
                     os.path.join(self.checkpoint_dir, "state_latest"),
                     jax.device_get(self.state))
+        return self._finalize(losses)
+
+    def _finalize(self, losses) -> TrainState:
+        """Common exit path (normal completion AND preemption stop):
+        flush wandb, record tail losses, log step timing."""
         if self._wandb:
             self._wandb.finish()
         self.last_losses = [float(l) for l in losses[-10:]]

@@ -135,3 +135,105 @@ def test_device_search_deep_trees_match_host(params):
             (d["time"], d["edge"], d["index"])
         np.testing.assert_allclose(h["reward"], d["reward"], rtol=1e-5)
     np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def hash_value_jax(x):
+    """Pseudo-random (but deterministic and epsilon-safe) image score:
+    quantize first, then scramble — successive rollout rewards jump up AND
+    down, so max-backprop must propagate through ancestors for selection
+    to stay on the host's trajectory."""
+    q = jnp.round(jnp.mean(x, axis=(1, 2)) * 1e3)
+    return jnp.mod(q * 37.0, 97.0)
+
+
+_jit_hash = jax.jit(hash_value_jax)
+
+
+def hash_value_host(x):
+    return float(_jit_hash(jnp.asarray(x, jnp.float32).reshape(
+        1, x.shape[-2], x.shape[-1]))[0])
+
+
+def test_max_backprop_reaches_ancestors():
+    """Direct regression for the stale-parent-closure bug: a reward
+    improving over an interior ancestor must propagate up the parent
+    chain and stop at the first non-improving ancestor (host
+    Node.backprop semantics). Trace-level e2e tests alone cannot catch
+    this — the parent term cancels among siblings at the root, so a
+    root-only update never flips an argmax."""
+    from dt4image_restoration_tpu.inference.mcts_device import max_backprop
+    # Two trees, chain 0 <- 1 <- 2.
+    parent = jnp.asarray([[-1, 0, 1, -1], [-1, 0, 1, -1]], jnp.int32)
+    reward = jnp.asarray([[5.0, 3.0, 0.0, 0.0],
+                          [1.0, 3.0, 0.0, 0.0]], jnp.float32)
+    leaf = jnp.asarray([2, 2], jnp.int32)
+    r = jnp.asarray([4.0, 4.0], jnp.float32)
+    out = np.asarray(max_backprop(reward, parent, leaf, r))
+    # Tree 0: leaf and node 1 improve to 4; root 5 stays (early stop).
+    np.testing.assert_allclose(out[0], [5.0, 4.0, 4.0, 0.0])
+    # Tree 1: improves all the way to the root.
+    np.testing.assert_allclose(out[1], [4.0, 4.0, 4.0, 0.0])
+
+
+def test_device_backprop_reaches_ancestors_like_host(params):
+    """Broad trace parity under non-monotonic reward sequences (rollout
+    rewards jump up AND down across iterations)."""
+    cfg = MCTSConfig(iterations=8, max_timesteps=8)
+    host = MCTS(dt_apply=dt_apply, dt_params=params, denoise=stub_denoise,
+                model_cfg=CFG, cfg=cfg, value_fn=hash_value_host,
+                record_trace=True)
+    device = DeviceMCTS(dt_apply=dt_apply, dt_params=params,
+                        denoise=stub_denoise, model_cfg=CFG, cfg=cfg,
+                        value_fn=hash_value_host,
+                        value_fn_jax=hash_value_jax, record_trace=True)
+    r = _record(seed=8)
+    want = host.run_batch([r], seeds=[31])
+    got = device.run_batch([r], seeds=[31])
+    # The scenario must actually exercise ancestor propagation: at least
+    # one rollout reward must exceed an earlier one (improving sequence).
+    rewards = [t["reward"] for t in host.traces[0]]
+    assert any(b > a for a, b in zip(rewards, rewards[1:]))
+    for h, d in zip(host.traces[0], device.traces[0]):
+        assert (h["time"], h["edge"], h["index"]) == \
+            (d["time"], d["edge"], d["index"])
+        np.testing.assert_allclose(h["reward"], d["reward"], rtol=1e-5)
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def big_value_jax(x):
+    """Scores ~1500: fresh children (reward 0) sit ~1500 below their
+    parent, tripping the -1000 PUCB floor — selection must recover by
+    re-selecting the node with inflated visits, like the host."""
+    q = jnp.round(jnp.mean(x, axis=(1, 2)) * 1e3)
+    return 1500.0 + jnp.mod(q * 37.0, 7.0)
+
+
+_jit_big = jax.jit(big_value_jax)
+
+
+def big_value_host(x):
+    return float(_jit_big(jnp.asarray(x, jnp.float32).reshape(
+        1, x.shape[-2], x.shape[-1]))[0])
+
+
+def test_device_floor_trip_recovery_matches_host(params):
+    """The -1000 selection floor trips when reward magnitudes are O(1500);
+    the host's while-loop self-recovers via visit inflation (select_p_ucb
+    returns its parent-node init) — the device retry lanes must follow the
+    same trajectory."""
+    cfg = MCTSConfig(iterations=5, max_timesteps=8)
+    host = MCTS(dt_apply=dt_apply, dt_params=params, denoise=stub_denoise,
+                model_cfg=CFG, cfg=cfg, value_fn=big_value_host,
+                record_trace=True)
+    device = DeviceMCTS(dt_apply=dt_apply, dt_params=params,
+                        denoise=stub_denoise, model_cfg=CFG, cfg=cfg,
+                        value_fn=big_value_host,
+                        value_fn_jax=big_value_jax, record_trace=True)
+    r = _record(seed=9)
+    want = host.run_batch([r], seeds=[41])
+    got = device.run_batch([r], seeds=[41])
+    for h, d in zip(host.traces[0], device.traces[0]):
+        assert (h["time"], h["edge"], h["index"]) == \
+            (d["time"], d["edge"], d["index"])
+        np.testing.assert_allclose(h["reward"], d["reward"], rtol=1e-5)
+    np.testing.assert_allclose(got, want, rtol=1e-4)
