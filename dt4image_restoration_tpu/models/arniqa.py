@@ -124,13 +124,32 @@ def convert_arniqa_state_dict(state_dict: Mapping[str, Any],
                               regressor_key: str = "regressor"
                               ) -> Dict[str, Any]:
     """Convert a downloaded ARNIQA hub checkpoint (torchvision ResNet-50
-    naming under ``encoder_prefix``) to Flax params + batch_stats."""
+    naming under ``encoder_prefix``) to Flax params + batch_stats.
+
+    STRICT like the DT/U-Net converters (utils/checkpoint.py): raises
+    ``ValueError`` on unconsumed keys so naming drift in a real hub file
+    fails loudly instead of silently mis-loading; missing keys raise
+    ``KeyError``. Tolerated-and-ignored: BatchNorm ``num_batches_tracked``
+    counters and the torchvision classification head ``fc.*`` (ARNIQA
+    takes pooled features; the head is unused, env.py:36-40)."""
     def t(v):
         v = np.asarray(v)
         return v.transpose(2, 3, 1, 0) if v.ndim == 4 else v
 
-    sd = {k.removeprefix(encoder_prefix): v for k, v in state_dict.items()
-          if k.startswith(encoder_prefix)}
+    consumed = set()
+    _raw_sd = {k.removeprefix(encoder_prefix): v
+               for k, v in state_dict.items()
+               if k.startswith(encoder_prefix)}
+
+    class _Tracking(dict):
+        def __getitem__(self, k):
+            consumed.add(encoder_prefix + k)
+            return dict.__getitem__(self, k)
+
+        def __contains__(self, k):
+            return dict.__contains__(self, k)
+
+    sd = _Tracking(_raw_sd)
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
 
@@ -160,6 +179,15 @@ def convert_arniqa_state_dict(state_dict: Mapping[str, Any],
     reg_b = np.asarray(
         state_dict.get(regressor_key + ".bias", np.zeros(1))).reshape(-1)
     params["regressor"] = {"kernel": reg_w.T, "bias": reg_b}
+
+    consumed.update({regressor_key + ".weight", regressor_key + ".bias"})
+    leftover = sorted(
+        k for k in state_dict
+        if k not in consumed
+        and not k.endswith("num_batches_tracked")
+        and not k.startswith(encoder_prefix + "fc."))
+    if leftover:
+        raise ValueError(f"unconsumed ARNIQA checkpoint keys: {leftover}")
     return {"params": params, "batch_stats": stats}
 
 

@@ -148,3 +148,25 @@ def test_proxy_value_fn_jax_matches_numpy():
     want = [proxy_value_fn(x) for x in xs]
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
     assert got[0] > got[1]  # same clean-over-noisy preference
+
+
+def test_arniqa_converter_strict_on_unconsumed_keys():
+    """Naming drift in a real hub checkpoint must fail loudly (same
+    contract as the DT/U-Net converters); BN counters and the unused
+    torchvision fc head are tolerated."""
+    full = random_arniqa_state_dict(0)
+    # Tolerated extras: fc head + BN bookkeeping.
+    ok = dict(full)
+    ok["encoder.model.fc.weight"] = torch.zeros(1000, 2048)
+    ok["encoder.model.layer1.0.bn1.num_batches_tracked"] = torch.zeros(())
+    convert_arniqa_state_dict(ok)  # must not raise
+
+    bad = dict(full)
+    bad["encoder.model.layer1.0.conv1_renamed.weight"] = torch.zeros(1)
+    with pytest.raises(ValueError, match="unconsumed"):
+        convert_arniqa_state_dict(bad)
+
+    missing = dict(full)
+    del missing["encoder.model.layer2.1.bn2.weight"]
+    with pytest.raises(KeyError):
+        convert_arniqa_state_dict(missing)
