@@ -169,6 +169,17 @@ def main() -> None:
     results["greedy_eval_full30_mean_episode_len"] = float(
         np.mean(m["episode_len"]))
 
+    # Guided-eval batch scaling at full episode length (the honest
+    # throughput ceiling for the DT-guided path; the Evaluator passes
+    # params per call, so the swap is fully effective).
+    for b in (16, 32, 64):
+        recs_b = records(b)
+        ev.evaluate_records(recs_b)  # compile (new batch shape)
+        t0 = time.perf_counter()
+        ev.evaluate_records(recs_b)
+        results[f"greedy_eval_full30_images_per_sec_b{b}"] = round(
+            b / (time.perf_counter() - t0), 2)
+
     # A fresh instance (not a dt_params swap): MCTS buffer-seeding programs
     # bake the construction-time weights (see mcts.py _seed_bufs note).
     dm_full = DeviceMCTS(dt_apply=dt_apply, dt_params=full_params,
