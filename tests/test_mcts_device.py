@@ -237,3 +237,24 @@ def test_device_floor_trip_recovery_matches_host(params):
             (d["time"], d["edge"], d["index"])
         np.testing.assert_allclose(h["reward"], d["reward"], rtol=1e-5)
     np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_device_search_uncached_encoder_matches_host(params):
+    """cached_encoder=False (full DT forward per window, no embedding
+    bank): device and host backends must still trace-match."""
+    host = MCTS(dt_apply=dt_apply, dt_params=params, denoise=stub_denoise,
+                model_cfg=CFG, cfg=SEARCH, value_fn=quantized_value_host,
+                cached_encoder=False, record_trace=True)
+    device = DeviceMCTS(dt_apply=dt_apply, dt_params=params,
+                        denoise=stub_denoise, model_cfg=CFG, cfg=SEARCH,
+                        value_fn=quantized_value_host,
+                        value_fn_jax=quantized_value_jax,
+                        cached_encoder=False, record_trace=True)
+    r = _record(seed=12)
+    want = host.run_batch([r], seeds=[17])
+    got = device.run_batch([r], seeds=[17])
+    for h, d in zip(host.traces[0], device.traces[0]):
+        assert (h["time"], h["edge"], h["index"]) == \
+            (d["time"], d["edge"], d["index"])
+        np.testing.assert_allclose(h["reward"], d["reward"], rtol=1e-5)
+    np.testing.assert_allclose(got, want, rtol=1e-4)

@@ -142,3 +142,56 @@ def test_tensor_parallel_forward_matches_replicated(setup):
         out = jax.jit(lambda p: apply_eval(p, *args).pred_actions)(tp_params)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-6)
+
+
+def test_train_gradients_match_torch_reference(rng):
+    """Cross-framework pin of the training path: the masked-MSE loss and
+    its FULL backward pass through the DT (conv stem, blocks incl. the
+    no-MLP-residual quirk, heads, sigma_d action scaling) must match a
+    torch-autograd restatement of the reference's _run_batch loss
+    (train.py:83-94) on converted weights and an identical batch."""
+    import torch
+    from tests.test_dt import make_dt_state_dict, torch_dt_forward
+    from dt4image_restoration_tpu.utils.checkpoint import (
+        convert_dt_state_dict)
+
+    gen = torch.Generator().manual_seed(3)
+    sd = {k: v.detach().clone().requires_grad_(True)
+          for k, v in make_dt_state_dict(gen).items()}
+    params = convert_dt_state_dict(
+        {k: v.detach() for k, v in sd.items()})
+
+    b = _batch(rng, b=2, t=6)
+
+    # --- torch reference loss + backward --------------------------------
+    pa, pr = torch_dt_forward(
+        sd, torch.from_numpy(b["rtg"]), torch.from_numpy(b["states"]),
+        torch.from_numpy(b["timesteps"]), torch.from_numpy(b["task"]).long(),
+        torch.from_numpy(b["actions"]), mode="norm")
+    preds = torch.cat([pa, pr], dim=-1)
+    targets = torch.cat([torch.from_numpy(b["actions"]),
+                         torch.from_numpy(b["rtg"])], dim=-1)
+    sel = torch.from_numpy(b["traj_masks"]).broadcast_to(preds.shape) > 0
+    ref_loss = ((preds[sel] - targets[sel]) ** 2).mean()
+    ref_loss.backward()
+    ref_grads = convert_dt_state_dict(
+        {k: v.grad.detach() for k, v in sd.items()})
+
+    # --- jax loss + grad -------------------------------------------------
+    apply_train = make_dt_apply(CFG, train=True)
+    loss, grads = jax.value_and_grad(
+        lambda p: loss_fn(apply_train, p, {k: jnp.asarray(v)
+                                           for k, v in b.items()},
+                          jax.random.PRNGKey(0)))(params)
+
+    np.testing.assert_allclose(float(loss), float(ref_loss.detach()),
+                               rtol=1e-5)
+    flat_ref = jax.tree.leaves_with_path(ref_grads)
+    flat_got = dict(jax.tree.leaves_with_path(grads))
+    assert len(flat_ref) == len(flat_got) > 30
+    for path, ref in flat_ref:
+        got = np.asarray(flat_got[path])
+        scale = max(1e-6, float(np.abs(ref).max()))
+        np.testing.assert_allclose(
+            got, np.asarray(ref), rtol=5e-3, atol=5e-4 * scale,
+            err_msg=str(path))
