@@ -113,10 +113,12 @@ class ARNIQA(nn.Module):
 
 
 def _bn(sd, prefix):
-    return {"scale": np.asarray(sd[prefix + ".weight"]),
-            "bias": np.asarray(sd[prefix + ".bias"])}, \
-           {"mean": np.asarray(sd[prefix + ".running_mean"]),
-            "var": np.asarray(sd[prefix + ".running_var"])}
+    # np.array (copy): np.asarray would alias torch storage (see
+    # utils/checkpoint.py _np).
+    return {"scale": np.array(sd[prefix + ".weight"]),
+            "bias": np.array(sd[prefix + ".bias"])}, \
+           {"mean": np.array(sd[prefix + ".running_mean"]),
+            "var": np.array(sd[prefix + ".running_var"])}
 
 
 def convert_arniqa_state_dict(state_dict: Mapping[str, Any],
@@ -133,7 +135,7 @@ def convert_arniqa_state_dict(state_dict: Mapping[str, Any],
     counters and the torchvision classification head ``fc.*`` (ARNIQA
     takes pooled features; the head is unused, env.py:36-40)."""
     def t(v):
-        v = np.asarray(v)
+        v = np.array(v)  # copy — np.asarray would alias torch storage
         return v.transpose(2, 3, 1, 0) if v.ndim == 4 else v
 
     consumed = set()
@@ -175,8 +177,8 @@ def convert_arniqa_state_dict(state_dict: Mapping[str, Any],
     params["encoder"] = enc_p
     stats["encoder"] = enc_s
 
-    reg_w = np.asarray(state_dict[regressor_key + ".weight"]).reshape(1, -1)
-    reg_b = np.asarray(
+    reg_w = np.array(state_dict[regressor_key + ".weight"]).reshape(1, -1)
+    reg_b = np.array(
         state_dict.get(regressor_key + ".bias", np.zeros(1))).reshape(-1)
     params["regressor"] = {"kernel": reg_w.T, "bias": reg_b}
 

@@ -20,10 +20,14 @@ import numpy as np
 
 
 def _np(t) -> np.ndarray:
-    """torch.Tensor -> np.ndarray (works for already-numpy values too)."""
+    """torch.Tensor -> np.ndarray COPY (works for already-numpy values
+    too). The copy is load-bearing: ``tensor.numpy()``/``np.asarray`` are
+    zero-copy views of torch storage, so an in-place mutation of the
+    source model (e.g. an optimizer step) would silently change the
+    converted params."""
     if isinstance(t, np.ndarray):
-        return t
-    return t.detach().cpu().numpy()
+        return np.array(t)
+    return np.array(t.detach().cpu().numpy())
 
 
 def _conv_kernel(w) -> np.ndarray:

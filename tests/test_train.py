@@ -158,8 +158,10 @@ def test_train_gradients_match_torch_reference(rng):
     gen = torch.Generator().manual_seed(3)
     sd = {k: v.detach().clone().requires_grad_(True)
           for k, v in make_dt_state_dict(gen).items()}
-    params = convert_dt_state_dict(
-        {k: v.detach() for k, v in sd.items()})
+    # jnp.array COPY: converted numpy leaves share memory with the torch
+    # tensors (no in-place mutation happens here, but don't rely on it).
+    params = jax.tree.map(jnp.array, convert_dt_state_dict(
+        {k: v.detach() for k, v in sd.items()}))
 
     b = _batch(rng, b=2, t=6)
 
@@ -194,4 +196,79 @@ def test_train_gradients_match_torch_reference(rng):
         scale = max(1e-6, float(np.abs(ref).max()))
         np.testing.assert_allclose(
             got, np.asarray(ref), rtol=5e-3, atol=5e-4 * scale,
+            err_msg=str(path))
+
+
+def test_optimizer_step_matches_torch_reference():
+    """One full update cross-framework on IDENTICAL gradients: grad-norm
+    clip 1.0 + AdamW (betas (0.9, 0.95), decoupled weight decay 0.1
+    applied only to the configure_optimizers decay set — kernels but not
+    biases/LN/embeddings, decision_transformer.py:166-209) must produce
+    the same new parameters as torch.optim.AdamW with the reference's
+    param groups and clip_grad_norm_.
+
+    The same synthetic gradients feed both sides deliberately: at step 1
+    Adam's update is ~ -lr*sign(g), so comparing after independent
+    backwards would amplify epsilon-level gradient sign flips into full-lr
+    param divergence (the backward itself is pinned separately in
+    test_train_gradients_match_torch_reference)."""
+    import torch
+    from tests.test_dt import make_dt_state_dict
+    from dt4image_restoration_tpu.utils.checkpoint import (
+        convert_dt_state_dict)
+
+    LR = 1e-3
+    gen = torch.Generator().manual_seed(4)
+    sd = {k: v.detach().clone().requires_grad_(True)
+          for k, v in make_dt_state_dict(gen).items()}
+    # COPY to device arrays BEFORE opt.step(): converted numpy leaves
+    # share memory with the torch tensors (np.asarray is zero-copy, and so
+    # is jnp.asarray on CPU), and the in-place AdamW update would silently
+    # mutate them (caught the hard way) — jnp.array forces the copy.
+    params = jax.tree.map(jnp.array, convert_dt_state_dict(
+        {k: v.detach() for k, v in sd.items()}))
+    # Synthetic gradients with norm > 1 so the clip actually engages.
+    ggen = torch.Generator().manual_seed(5)
+    torch_grads = {k: 0.3 * torch.randn(v.shape, generator=ggen)
+                   for k, v in sd.items()}
+    for k, v in sd.items():
+        v.grad = torch_grads[k].clone()
+
+    # --- torch: clip + grouped AdamW -------------------------------------
+    gnorm = torch.nn.utils.clip_grad_norm_(list(sd.values()), 1.0)
+    assert float(gnorm) > 1.0  # the clip path is exercised
+    # configure_optimizers' split: weights of Linear/Conv decay; biases,
+    # LayerNorm params, and embedding tables don't.
+    decay, no_decay = [], []
+    for k, v in sd.items():
+        is_w = k.endswith(".weight") and v.ndim >= 2 \
+            and "embed.weight" not in k
+        (decay if is_w else no_decay).append(v)
+    opt = torch.optim.AdamW(
+        [{"params": decay, "weight_decay": 0.1},
+         {"params": no_decay, "weight_decay": 0.0}],
+        lr=LR, betas=(0.9, 0.95))
+    opt.step()
+    ref_new = convert_dt_state_dict(
+        {k: v.detach() for k, v in sd.items()})
+
+    # --- jax: the make_optimizer structure at fixed LR, same grads ------
+    import optax
+    from dt4image_restoration_tpu.training.trainer import _decay_mask
+    optimizer = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(learning_rate=LR, b1=0.9, b2=0.95, weight_decay=0.1,
+                    mask=_decay_mask(params)))
+    grads = jax.tree.map(
+        jnp.asarray, convert_dt_state_dict(
+            {k: v.numpy() for k, v in torch_grads.items()}))
+    updates, _ = optimizer.update(grads, optimizer.init(params), params)
+    new = optax.apply_updates(params, updates)
+
+    flat_ref = dict(jax.tree.leaves_with_path(ref_new))
+    for path, got in jax.tree.leaves_with_path(new):
+        ref = np.asarray(flat_ref[path])
+        np.testing.assert_allclose(
+            np.asarray(got), ref, rtol=2e-4,
+            atol=1e-5 * max(1e-3, float(np.abs(ref).max())),
             err_msg=str(path))
