@@ -172,7 +172,7 @@ def main() -> None:
     # Guided-eval batch scaling at full episode length (the honest
     # throughput ceiling for the DT-guided path; the Evaluator passes
     # params per call, so the swap is fully effective).
-    for b in (16, 32, 64):
+    for b in (16, 32, 64, 128):
         recs_b = records(b)
         ev.evaluate_records(recs_b)  # compile (new batch shape)
         t0 = time.perf_counter()

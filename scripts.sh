@@ -16,5 +16,12 @@ python main.py --block_size 18 --n_embeds 6 flex --max_timesteps 30
 #headline benchmark (PnP-ADMM iters/sec/chip vs torch-CPU reference)
 python bench.py
 
+#DT-guided inference benchmarks (greedy/flex/MCTS incl. the device-resident
+#tree search and full-episode scaling)
+python benchmarks/eval_bench.py
+
+#training-step throughput (fused donated update, f32 + bf16)
+python benchmarks/train_bench.py
+
 #pallas-vs-XLA kernel benchmark
 python benchmarks/pallas_bench.py

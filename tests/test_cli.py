@@ -129,3 +129,31 @@ def test_cli_train_then_eval_orbax_roundtrip(train_fixture, eval_dir,
               "--data_dirs", eval_dir])
     out = capsys.readouterr().out
     assert "Average reward" in out
+
+
+def test_cli_mcts_multi_dir_chunked(tmp_path, capsys, monkeypatch):
+    """Cross-directory tree batching: two directories' records flow into
+    --search_batch chunks (here 3 -> a full chunk spanning both dirs plus
+    a partial chunk), one device program per chunk."""
+    import dt4image_restoration_tpu.config as config_mod
+    orig_cls = config_mod.MCTSConfig
+    monkeypatch.setattr(
+        config_mod, "MCTSConfig",
+        lambda **kw: orig_cls(**{"iterations": 2, **kw}))
+    dirs = []
+    for name in ("4_15", "8_10"):
+        d = tmp_path / name
+        os.makedirs(d)
+        for i in range(2):
+            savemat(d / f"img_{name}_s{i}.mat",
+                    make_mat_record(seed=i + (0 if name == "4_15" else 7)))
+        dirs.append(str(d))
+    cli.main(["--block_size", "18", "--n_embeds", "9", "mcts",
+              "--rtg", "5", "--max_timesteps", "6",
+              "--checkpoint", "/nonexistent.pt",
+              "--denoiser_ckpt", "/nonexistent.pt",
+              "--search_batch", "3",
+              "--data_dirs", *dirs])
+    out = capsys.readouterr().out
+    assert out.count("MCTS Reward") == 4  # all records across both dirs
+    assert "Total MCTS reward:" in out
