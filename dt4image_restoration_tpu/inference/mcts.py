@@ -434,7 +434,6 @@ class MCTS:
         float reordering.
         """
         records, seeds, n_out = self._prepare_batch(records, seeds)
-        n_trees = len(records)
         rngs = [np.random.default_rng(s) for s in seeds]
         self.traces = [[] for _ in records] if self.record_trace else None
 

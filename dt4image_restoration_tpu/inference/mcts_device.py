@@ -149,6 +149,16 @@ class DeviceMCTS(MCTS):
             best_final = jnp.zeros_like(root_env.gt)  # (n, 1, H, W)
             best_ep = jnp.zeros((n,), i32)
 
+            # Retry (floor-recovery) safety valve: the host's visit
+            # inflation recovers within exp((deficit/prior)^2) passes; past
+            # this bound (deficit/prior > ~3, e.g. zero-underflowed priors
+            # with value scales > 1000) the host loop would effectively
+            # hang and a device while_loop would hang UNINTERRUPTIBLY — so
+            # the descent gives up instead, leaving the lane at its current
+            # node (which then re-expands, the pre-retry behavior). Never
+            # reachable with the shipped value models.
+            max_select_iters = n_nodes + 10_000
+
             def select(first_child, prob, reward, visits):
                 """PUCB descent (mcts.py:74-88; host select_p_ucb parity:
                 first strict max wins, NaN skipped, -1000 floor). When no
@@ -160,11 +170,11 @@ class DeviceMCTS(MCTS):
                 visits = visits.at[:, 0].add(1)  # root pre-increment
 
                 def cond(c):
-                    _, _, stopped = c
-                    return jnp.any(~stopped)
+                    _, _, stopped, it = c
+                    return jnp.any(~stopped) & (it < max_select_iters)
 
                 def body(c):
-                    cur, visits, stopped = c
+                    cur, visits, stopped, it = c
                     fc = first_child[tr, cur]
                     ch = jnp.maximum(fc, 0)[:, None] + jnp.arange(K)
                     ch_r = reward[tr[:, None], ch]
@@ -186,12 +196,12 @@ class DeviceMCTS(MCTS):
                     new_cur = jnp.where(advance, ch[tr, best_k], cur)
                     visits = visits.at[tr, new_cur].add(
                         (advance | retry).astype(i32))
-                    return new_cur, visits, stopped | (fc < 0)
+                    return new_cur, visits, stopped | (fc < 0), it + 1
 
-                cur, visits, _ = jax.lax.while_loop(
+                cur, visits, _, _ = jax.lax.while_loop(
                     cond, body,
                     (jnp.zeros((n,), i32), visits,
-                     jnp.zeros((n,), bool)))
+                     jnp.zeros((n,), bool), jnp.asarray(0, i32)))
                 return cur, visits
 
             def body(carry, it):

@@ -144,12 +144,11 @@ def convert_arniqa_state_dict(state_dict: Mapping[str, Any],
                if k.startswith(encoder_prefix)}
 
     class _Tracking(dict):
+        # Only __getitem__ marks keys consumed; `in` membership tests
+        # (inherited) deliberately do not.
         def __getitem__(self, k):
             consumed.add(encoder_prefix + k)
             return dict.__getitem__(self, k)
-
-        def __contains__(self, k):
-            return dict.__contains__(self, k)
 
     sd = _Tracking(_raw_sd)
     params: Dict[str, Any] = {}
