@@ -23,5 +23,8 @@ python benchmarks/eval_bench.py
 #training-step throughput (fused donated update, f32 + bf16)
 python benchmarks/train_bench.py
 
+#serving throughput/latency (batching service, policy + mcts modes)
+python benchmarks/serving_bench.py
+
 #pallas-vs-XLA kernel benchmark
 python benchmarks/pallas_bench.py
