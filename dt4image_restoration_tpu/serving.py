@@ -223,9 +223,11 @@ class RestorationService:
         else:
             images, reward, ep_len = self._program(env_state)
 
-        images = np.asarray(images)[:n, 0]
-        reward = np.asarray(reward)[:n, 0]
-        ep_len = np.asarray(ep_len)[:n]
+        # Slice on device BEFORE the host fetch: only the n live rows
+        # cross the link, not the padding.
+        images = np.asarray(images[:n, 0])
+        reward = np.asarray(reward[:n, 0])
+        ep_len = np.asarray(ep_len[:n])
         return [RestorationResult(
             image=np.clip(images[i], 0.0, 1.0),
             psnr_db=float(reward[i]) if has_gt else None,
