@@ -306,7 +306,8 @@ def build_parser() -> argparse.ArgumentParser:
                                 "batching a directory's trees on device")
             s.add_argument("--search_batch", type=int, default=16,
                            help="trees searched per device dispatch "
-                                "(throughput knee ~16, RESULTS.md)")
+                                "(throughput still improving at 64, "
+                                "memory-safe default 16; RESULTS.md)")
             s.add_argument("--tree_backend", default="device",
                            choices=["device", "host"],
                            help="'device' (default): the whole PUCB search "
