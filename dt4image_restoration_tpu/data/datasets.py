@@ -106,9 +106,11 @@ class TrainingDataset:
             start = 0 if traj_len == block else int(
                 self.rng.integers(0, traj_len - block))
             sl = slice(start, start + block)
+            # Explicit key order: the documented (T, sigma_d, mu) columns
+            # must not depend on the json dict's serialization order.
             actions = np.stack(
                 [np.asarray(traj["Actions"][k][sl], np.float32)
-                 for k in traj["Actions"]], axis=1)
+                 for k in ACTION_KEYS_JSON], axis=1)
             rtg = rtg_all[sl].reshape(-1, 1)
             timesteps = np.arange(start, start + block,
                                   dtype=np.int32).reshape(-1, 1)
@@ -119,7 +121,7 @@ class TrainingDataset:
             pad = block - traj_len
             actions = np.stack(
                 [np.asarray(traj["Actions"][k][:traj_len], np.float32)
-                 for k in traj["Actions"]], axis=1)
+                 for k in ACTION_KEYS_JSON], axis=1)
             actions = np.concatenate(
                 [actions, np.zeros((pad, actions.shape[1]), np.float32)])
             rtg = np.concatenate(
@@ -137,7 +139,7 @@ class TrainingDataset:
 
     def batches(self, batch_size: int, shuffle: bool = True,
                 drop_remainder: bool = True,
-                seed: Optional[int] = None,
+                seed: int = 0,
                 shard_index: int = 0, num_shards: int = 1
                 ) -> Iterator[Dict[str, np.ndarray]]:
         """Host-side batch iterator producing stacked numpy dicts ready for
@@ -146,14 +148,21 @@ class TrainingDataset:
 
         ``shard_index``/``num_shards`` give per-process input sharding on a
         multi-host run (DistributedSampler's rank/world_size, main.py:62):
-        every process shuffles with the same seed, takes a strided slice of
-        the permutation, and yields ``batch_size`` items — its share of a
-        ``batch_size * num_shards`` global batch. Deviation from the
-        reference noted in PARITY.md D8: shuffle defaults ON here.
+        every process shuffles with the same seed (an int DEFAULT, not
+        None — each process must derive the identical permutation), and
+        the permutation is wrap-padded to a multiple of ``num_shards``
+        before striding, so every process yields the SAME number of
+        batches (DistributedSampler's equal-count guarantee — unequal
+        counts would desync the collective train steps).
+        Deviation from the reference noted in PARITY.md D8: shuffle
+        defaults ON here.
         """
         order = np.arange(len(self))
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
+        if num_shards > 1 and len(order) % num_shards:
+            total = -(-len(order) // num_shards) * num_shards
+            order = np.concatenate([order, order[:total - len(order)]])
         order = order[shard_index::num_shards]
         n = len(order) - (len(order) % batch_size if drop_remainder else 0)
         for i in range(0, n, batch_size):

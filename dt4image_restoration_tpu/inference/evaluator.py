@@ -351,6 +351,9 @@ class Evaluator:
         replacement for the reference's one-image-at-a-time loop,
         eval.py:112-143). Returns a metrics dict."""
         n = len(records)
+        if n == 0:
+            raise ValueError("evaluate_records needs at least one record "
+                             "(empty evaluation directory?)")
         if self.mesh is not None:
             pad = (-n) % self.mesh.shape["data"]
             records = list(records) + [records[-1]] * pad

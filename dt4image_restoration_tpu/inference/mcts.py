@@ -411,6 +411,9 @@ class MCTS:
     def _prepare_batch(self, records, seeds):
         """Default per-tree seeds + mesh padding (padded trees are dropped
         from outputs). Shared by both tree backends."""
+        if not records:
+            raise ValueError("run_batch needs at least one record "
+                             "(empty evaluation directory?)")
         n_out = len(records)
         if seeds is None:
             seeds = [self.cfg.seed + i for i in range(n_out)]

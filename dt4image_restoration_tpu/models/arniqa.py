@@ -10,8 +10,10 @@ This module provides:
   * ``ResNet50`` / ``ARNIQA`` — Flax (NHWC) implementations;
   * ``convert_arniqa_state_dict`` — torch->Flax weight converter for a
     downloaded hub checkpoint (torchvision ResNet naming);
-  * ``make_value_fn`` — the env.py:42-54 scoring wrapper (half-scale
-    downsample, greyscale->'RGB' zero-padding, ImageNet normalization);
+  * ``make_value_fn`` — the env.py:42-54 scoring wrapper (antialiased
+    half-scale downsample, greyscale->'RGB' zero-padding; the reference
+    feeds raw unnormalized images straight into the hub model —
+    env.py:42-54 applies no ImageNet normalization);
   * ``proxy_value_fn`` — a deterministic no-reference fallback used when
     the hub weights are unavailable (this container has no network
     egress). The substitution only affects MCTS node *ranking*; greedy/flex
@@ -26,10 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dt4image_restoration_tpu.ops.image import resize_bilinear
 
-IMAGENET_MEAN = (0.485, 0.456, 0.406)
-IMAGENET_STD = (0.229, 0.224, 0.225)
 KADID_RANGE = (1.0, 5.0)  # MOS range used by scale_score
 
 
@@ -192,6 +191,20 @@ def convert_arniqa_state_dict(state_dict: Mapping[str, Any],
     return {"params": params, "batch_stats": stats}
 
 
+def _half_scale(nhwc: jnp.ndarray, image_size: int) -> jnp.ndarray:
+    """The reference's half-resolution input uses torchvision
+    ``transforms.Resize`` (env.py:48), which ANTIALIASES on tensors in
+    current torchvision (>= 0.17 default; older releases defaulted
+    antialias=False on tensors — PARITY.md D13) —
+    ``jax.image.resize(antialias=True)`` matches it to ~1e-7 (tested);
+    the plain align_corners bilinear the U-Net upsample uses differs by
+    up to ~0.3 here and would shift scores on real checkpoints."""
+    b = nhwc.shape[0]
+    return jax.image.resize(
+        nhwc, (b, image_size // 2, image_size // 2, nhwc.shape[-1]),
+        method="bilinear", antialias=True)
+
+
 def make_value_fn(variables: Dict[str, Any],
                   image_size: int = 128,
                   dtype: Any = jnp.float32
@@ -206,7 +219,7 @@ def make_value_fn(variables: Dict[str, Any],
         rgb = jnp.concatenate(
             [x, jnp.zeros_like(x), jnp.zeros_like(x)])  # (3, H, W)
         nhwc = jnp.transpose(rgb, (1, 2, 0))[None]
-        half = resize_bilinear(nhwc, image_size // 2, image_size // 2)
+        half = _half_scale(nhwc, image_size)
         return model.apply(variables, nhwc, half, scale_score=True)[0]
 
     return lambda x: float(score(jnp.asarray(x, jnp.float32)))
@@ -224,7 +237,7 @@ def make_value_fn_jax(variables: Dict[str, Any],
     def score(x):  # (B, H, W)
         nhwc = jnp.stack(
             [x, jnp.zeros_like(x), jnp.zeros_like(x)], axis=-1)
-        half = resize_bilinear(nhwc, image_size // 2, image_size // 2)
+        half = _half_scale(nhwc, image_size)
         return model.apply(variables, nhwc, half, scale_score=True)
 
     return score

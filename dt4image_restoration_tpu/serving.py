@@ -77,6 +77,10 @@ class RestorationService:
         self.max_delay_s = max_delay_s
         self._queue: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
+        # Guards the stop-check + enqueue in submit() against close()'s
+        # drain: without it a request enqueued between close's stop-set
+        # and its drain would never resolve.
+        self._submit_lock = threading.Lock()
 
         if mode == "policy":
             def run(params, policy_x0, rtg0, task, env_state):
@@ -118,10 +122,11 @@ class RestorationService:
         """Enqueue one slice; returns a Future[RestorationResult].
         Raises ``RuntimeError`` after :meth:`close` — nothing would ever
         drain the queue."""
-        if self._stop.is_set():
-            raise RuntimeError("RestorationService is closed")
-        fut: Future = Future()
-        self._queue.put((request, fut))
+        with self._submit_lock:
+            if self._stop.is_set():
+                raise RuntimeError("RestorationService is closed")
+            fut: Future = Future()
+            self._queue.put((request, fut))
         return fut
 
     def restore(self, requests) -> list:
@@ -130,7 +135,8 @@ class RestorationService:
         return [f.result() for f in futs]
 
     def close(self) -> None:
-        self._stop.set()
+        with self._submit_lock:
+            self._stop.set()
         # The worker drains at most one batch past the stop flag; wait for
         # it without a timeout so a mid-batch device call can't leak a
         # half-processed queue (joining a daemon thread is bounded by the
@@ -177,7 +183,9 @@ class RestorationService:
         pad = self.batch_size - n
         padded = list(requests) + [requests[-1]] * pad
 
-        has_gt = all("gt" in r.mat for r in requests)
+        # Per-request, not all(): a gt-less neighbor in the batch must not
+        # suppress another request's PSNR (batch-composition independence).
+        has_gt = ["gt" in r.mat for r in requests]
         mats = {k: np.concatenate(
             [np.asarray(r.mat[k]) for r in padded])
             for k in ("x0", "y0", "mask")}
@@ -205,8 +213,9 @@ class RestorationService:
                 detailed=True, verbose=False)[:n]
             return [RestorationResult(
                 image=np.clip(res["image"], 0.0, 1.0),
-                psnr_db=res["reward"] if has_gt else None,
-                episode_len=res["episode_len"]) for res in results]
+                psnr_db=res["reward"] if has_gt[i] else None,
+                episode_len=res["episode_len"])
+                for i, res in enumerate(results)]
 
         env_state = reset_from_mat(mats)
         if self.mode == "policy":
@@ -230,5 +239,5 @@ class RestorationService:
         ep_len = np.asarray(ep_len[:n])
         return [RestorationResult(
             image=np.clip(images[i], 0.0, 1.0),
-            psnr_db=float(reward[i]) if has_gt else None,
+            psnr_db=float(reward[i]) if has_gt[i] else None,
             episode_len=int(ep_len[i])) for i in range(n)]

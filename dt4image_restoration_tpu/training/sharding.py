@@ -98,27 +98,28 @@ def background_batches(iterator, size: int = 2):
     _END = object()
     stop = threading.Event()
 
+    def bounded_put(item):
+        # Bounded-wait put so an abandoned consumer (early exit on
+        # preemption) releases this thread instead of leaking it blocked
+        # on a full queue.
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue_mod.Full:
+                continue
+        return False
+
     def worker():
         try:
             for item in iterator:
-                # Bounded-wait put so an abandoned consumer (early exit on
-                # preemption) releases this thread instead of leaking it
-                # blocked on a full queue.
-                while not stop.is_set():
-                    try:
-                        q.put(item, timeout=0.1)
-                        break
-                    except queue_mod.Full:
-                        continue
-                if stop.is_set():
+                if not bounded_put(item):
                     return
-        finally:
-            while not stop.is_set():
-                try:
-                    q.put(_END, timeout=0.1)
-                    break
-                except queue_mod.Full:
-                    continue
+            bounded_put(_END)
+        except BaseException as exc:  # noqa: BLE001 — re-raised in consumer
+            # A corrupt file / missing h5 key must FAIL the epoch, not
+            # silently truncate it (the consumer re-raises).
+            bounded_put(exc)
 
     threading.Thread(target=worker, daemon=True).start()
     try:
@@ -126,6 +127,8 @@ def background_batches(iterator, size: int = 2):
             item = q.get()
             if item is _END:
                 return
+            if isinstance(item, BaseException):
+                raise item
             yield item
     finally:
         stop.set()

@@ -7,9 +7,14 @@ Behavioral parity with /root/reference/train.py:
     (decision_transformer.py:166-209) — via an optax weight-decay mask
   * grad-norm clip 1.0 (train.py:97)
   * manual schedule: linear warmup over 1250 steps then cosine decay floored
-    at 0.1x (train.py:106-119). The reference applies the *previous* step's
-    LR to each update (it sets LR after stepping); we reproduce the same
-    sequence by evaluating the schedule at ``step`` with schedule(0) = 0.
+    at 0.1x (train.py:106-119). The reference sets the LR only AFTER each
+    step, so update k >= 2 uses warmup((k-1)/1250) — reproduced here by
+    evaluating the schedule at the pre-step count. ONE documented
+    deviation (PARITY.md D12): the reference's very FIRST update runs at
+    the full constructed lr 3e-4 (decision_transformer.py:208 — warmup
+    never saw it), a latent bug that defeats warmup for one step; here
+    schedule(0) = 0, a no-op first update, the evidently-intended ramp
+    from zero.
   * masked MSE over concat [actions, rtg] targets (train.py:83-94)
 
 The whole batch update is one jitted, donated ``train_step`` sharded over

@@ -170,3 +170,17 @@ def test_arniqa_converter_strict_on_unconsumed_keys():
     del missing["encoder.model.layer2.1.bn2.weight"]
     with pytest.raises(KeyError):
         convert_arniqa_state_dict(missing)
+
+
+def test_half_scale_matches_torch_antialiased_resize():
+    """The ARNIQA half-resolution input must match torchvision
+    transforms.Resize semantics — antialiased bilinear on tensors
+    (reference env.py:48) — NOT the U-Net's align_corners bilinear."""
+    from dt4image_restoration_tpu.models.arniqa import _half_scale
+    x = np.random.default_rng(3).uniform(
+        0, 1, (2, 128, 128, 3)).astype(np.float32)
+    want = F.interpolate(torch.from_numpy(x).permute(0, 3, 1, 2),
+                         size=(64, 64), mode="bilinear",
+                         antialias=True).permute(0, 2, 3, 1).numpy()
+    got = np.asarray(_half_scale(jnp.asarray(x), 128))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

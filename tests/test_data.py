@@ -154,3 +154,76 @@ def test_eval_dataset_flex_task_token(mat_dir):
     ds = EvaluationDataset(mat_dir, rtg_target=4.5, kind="flex")
     (_, _, _, task), _ = ds[0]
     assert int(task[0]) == FLEX_TASKS.index("rtg_4.5")
+
+
+def test_sharded_batches_equal_counts(traj_dir):
+    """Uneven shard split (3 trajectories / 2 shards) must still give every
+    process the SAME number of batches — DistributedSampler's equal-count
+    guarantee (wrap-padding), without which multi-host collective steps
+    desync (one process runs a partner-less step)."""
+    ds = _make_ds(traj_dir)  # 3 trajectories
+    per_shard = [list(ds.batches(batch_size=2, seed=0, shard_index=i,
+                                 num_shards=2)) for i in range(2)]
+    assert len(per_shard[0]) == len(per_shard[1]) == 1
+    # Union of shard items covers the whole permutation (one wrap dup).
+    seen = sum(b["states"].shape[0] for shard in per_shard for b in shard)
+    assert seen == 4  # 3 items + 1 wrap-padded duplicate
+
+
+def test_sharded_batches_default_seed_is_deterministic(traj_dir):
+    """batches() without an explicit seed must give every process the same
+    permutation (an int default, not None — np.default_rng(None) would
+    hand each process an independent shuffle and desync the shards).
+    Window crops within items remain dataset-rng random; only the
+    permutation contract is pinned here."""
+    import inspect
+    ds = _make_ds(traj_dir)
+    default = inspect.signature(ds.batches).parameters["seed"].default
+    assert isinstance(default, int)
+
+
+def test_action_columns_follow_documented_order(tmp_path, rng):
+    """Action columns must be (T, sigma_d, mu) regardless of the json
+    dict's serialization order."""
+    import json as _json
+    import h5py as _h5py
+    from dt4image_restoration_tpu.data.datasets import TrainingDataset
+
+    h5_path = tmp_path / "s.h5"
+    with _h5py.File(h5_path, "w") as f:
+        for t in range(6):
+            f.create_dataset(f"t0/s{t}", data=np.zeros((128, 128), np.uint8))
+    traj = {
+        "RTG": [1.0] * 6,
+        # Deliberately scrambled key order in the file.
+        "Actions": {"mu": [3.0] * 6, "T": [1.0] * 6, "sigma_d": [2.0] * 6},
+        "State Paths": ["0123456789" + f"t0/s{t}" for t in range(6)],
+        "Task": "4x_10",
+    }
+    os.makedirs(tmp_path / "trajs")
+    with open(tmp_path / "trajs" / "t0.json", "w") as jf:
+        _json.dump(traj, jf)
+    from dt4image_restoration_tpu.data.datasets import OPTIMAL_TASKS
+    ds = TrainingDataset(
+        block_size=18, data_dir=str(tmp_path / "trajs"), action_dim=3,
+        state_file_path=str(h5_path), tasks=OPTIMAL_TASKS,
+        min_rtg=0.0, max_rtg=1.0, normalize_rtg=False,
+        rng=np.random.default_rng(0))
+    _, actions, *_ = ds[0]
+    np.testing.assert_array_equal(actions[0], [1.0, 2.0, 3.0])  # T, sd, mu
+
+
+def test_background_batches_propagates_iterator_errors():
+    """A corrupt file mid-epoch must FAIL the epoch loudly, not silently
+    truncate it (multi-host: a short epoch desyncs collectives)."""
+    from dt4image_restoration_tpu.training.sharding import (
+        background_batches)
+
+    def bad_iterator():
+        yield {"ok": np.zeros(1)}
+        raise ValueError("corrupt trajectory file")
+
+    it = background_batches(bad_iterator())
+    assert next(it)["ok"].shape == (1,)
+    with pytest.raises(ValueError, match="corrupt trajectory"):
+        next(it)

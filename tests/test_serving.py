@@ -165,3 +165,20 @@ def test_mcts_mode_matches_direct_device_search(params):
         np.testing.assert_allclose(
             got.image, np.clip(ref["image"], 0, 1), rtol=1e-5, atol=1e-6)
         assert got.episode_len == ref["episode_len"]
+
+
+def test_mixed_gt_batch_is_per_request():
+    """A gt-less neighbor in the batch must not suppress another request's
+    PSNR (batch-composition independence of psnr_db)."""
+    with_gt = RestorationRequest(mat=make_mat_record(seed=0))
+    no_gt_mat = {k: v for k, v in make_mat_record(seed=1).items()
+                 if k != "gt"}
+    without_gt = RestorationRequest(mat=no_gt_mat)
+    svc = RestorationService(denoise=lambda img, sig: jnp.clip(img, 0, 1),
+                             mode="fixed", batch_size=2, max_timesteps=5)
+    try:
+        a, b = svc.restore([with_gt, without_gt])
+    finally:
+        svc.close()
+    assert a.psnr_db is not None and np.isfinite(a.psnr_db)
+    assert b.psnr_db is None
