@@ -355,7 +355,11 @@ class Evaluator:
             raise ValueError("evaluate_records needs at least one record "
                              "(empty evaluation directory?)")
         if self.mesh is not None:
-            pad = (-n) % self.mesh.shape["data"]
+            # Multi-host: each process passes its LOCAL slice of the global
+            # batch (concatenated in process order); local padding unit is
+            # this process's share of the data axis.
+            unit = max(1, self.mesh.shape["data"] // jax.process_count())
+            pad = (-n) % unit
             records = list(records) + [records[-1]] * pad
 
         policy_x0 = jnp.concatenate(
@@ -368,11 +372,10 @@ class Evaluator:
         env_state = reset_from_mat(mats)
 
         if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            shard = lambda x: jax.device_put(
-                x, NamedSharding(self.mesh, P("data")))
-            policy_x0, rtg0, task = map(shard, (policy_x0, rtg0, task))
-            env_state = jax.tree.map(shard, env_state)
+            from dt4image_restoration_tpu.training.sharding import (
+                shard_eval_inputs)
+            policy_x0, rtg0, task, env_state = shard_eval_inputs(
+                (policy_x0, rtg0, task, env_state), self.mesh)
 
         old_reward = compute_reward(env_state)
 
@@ -382,9 +385,17 @@ class Evaluator:
         reward.block_until_ready()
         wall = _time.perf_counter() - t0
 
-        reward = np.asarray(reward)[:n, 0]
-        old = np.asarray(old_reward)[:n, 0]
-        ep_len = ep_len[:n]
+        from dt4image_restoration_tpu.training.sharding import (
+            gather_eval_outputs)
+        reward, old, ep_len = gather_eval_outputs(
+            (reward, old_reward, ep_len))
+        # Multi-host gathers return the GLOBAL batch; this process's slice
+        # starts at its offset in process order.
+        off = jax.process_index() * (len(records) if jax.process_count() > 1
+                                     else 0)
+        reward = reward[off:off + n, 0]
+        old = old[off:off + n, 0]
+        ep_len = ep_len[off:off + n]
         return {
             "reward": reward,
             "increment": reward - old,

@@ -418,7 +418,10 @@ class MCTS:
         if seeds is None:
             seeds = [self.cfg.seed + i for i in range(n_out)]
         if self.mesh is not None:
-            pad = (-len(records)) % self.mesh.shape["data"]
+            # Multi-host: records are this process's LOCAL slice; pad to
+            # its share of the data axis.
+            unit = max(1, self.mesh.shape["data"] // jax.process_count())
+            pad = (-len(records)) % unit
             records = list(records) + [records[-1]] * pad
             seeds = list(seeds) + [seeds[-1]] * pad
         return records, seeds, n_out
@@ -484,11 +487,13 @@ class MCTS:
             bufs_b = _concat_pytrees([n.bufs for n in leaves])
             env_b = _concat_pytrees([n.env_state for n in leaves])
             if self.mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-                shard = lambda x: jax.device_put(
-                    x, NamedSharding(self.mesh, P("data")))
-                bufs_b = jax.tree.map(shard, bufs_b)
-                env_b = jax.tree.map(shard, env_b)
+                # Single-process mesh sharding only: this backend syncs
+                # host tree state every iteration, which cannot span
+                # processes — use DeviceMCTS on a pod.
+                from dt4image_restoration_tpu.training.sharding import (
+                    shard_eval_inputs)
+                bufs_b, env_b = shard_eval_inputs((bufs_b, env_b),
+                                                  self.mesh)
             out = self._search_iter(
                 self.dt_params, bufs_b, t_vec, env_b,
                 jnp.asarray([n.policy_rtg for n in leaves], jnp.float32),

@@ -312,19 +312,31 @@ class DeviceMCTS(MCTS):
             env_state.x_real.reshape(len(records), -1), rtg0, task)
 
         if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            shard = lambda x: jax.device_put(
-                x, NamedSharding(self.mesh, P("data")))
-            env_state = jax.tree.map(shard, env_state)
-            root_bufs = jax.tree.map(shard, root_bufs)
+            # Multi-host aware: each process feeds its local tree slice
+            # (training/sharding.py shard_eval_inputs).
+            from dt4image_restoration_tpu.training.sharding import (
+                shard_eval_inputs)
+            env_state, root_bufs = shard_eval_inputs(
+                (env_state, root_bufs), self.mesh)
 
         final_reward, best_final, best_ep, traces = self._search_all(
             self.dt_params, root_bufs, env_state, rtg0,
             jnp.asarray(z_all))
-        final_reward = np.asarray(final_reward)[:n_out]
+        from dt4image_restoration_tpu.training.sharding import (
+            gather_eval_outputs)
+        final_reward, best_final, best_ep, traces = gather_eval_outputs(
+            (final_reward, best_final, best_ep, traces))
+        # Multi-host gathers return the GLOBAL batch; slice this process's
+        # share (records is the padded local list).
+        off = jax.process_index() * (len(records) if jax.process_count() > 1
+                                     else 0)
+        final_reward = final_reward[off:off + n_out]
 
         if self.record_trace:
-            leaf, t_leaf, probs, r = jax.device_get(traces)
+            # Traces are (iterations, global_batch, ...); take this
+            # process's columns.
+            leaf, t_leaf, probs, r = jax.tree.map(
+                lambda x: x[:, off:off + n_out], traces)
             self.traces = []
             for j in range(n_out):
                 tr = []
@@ -344,8 +356,8 @@ class DeviceMCTS(MCTS):
                 print("MCTS Reward: ", float(v))
             out.append(float(v))
         if detailed:
-            images = np.asarray(best_final)[:n_out, 0]
-            eps = np.asarray(best_ep)[:n_out]
+            images = np.asarray(best_final)[off:off + n_out, 0]
+            eps = np.asarray(best_ep)[off:off + n_out]
             return [{"reward": out[i], "image": images[i],
                      "episode_len": int(eps[i])}
                     for i in range(n_out)]

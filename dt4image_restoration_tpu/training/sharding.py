@@ -190,6 +190,35 @@ def shard_params(params, mesh: Mesh, tensor_parallel: bool = False):
         params, specs)
 
 
+def shard_eval_inputs(tree, mesh: Mesh):
+    """Shard a pytree of batched inference inputs over the mesh's data
+    axis, multi-host aware: on a pod each process passes only ITS slice of
+    the global batch (``make_array_from_process_local_data``, like
+    :func:`shard_batch`); single-process falls back to a plain
+    ``device_put``. Used by the Evaluator and the tree-search backends."""
+    def put(x):
+        sharding = NamedSharding(mesh, P("data"))
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
+
+    return jax.tree.map(put, tree)
+
+
+def gather_eval_outputs(tree):
+    """Fetch inference outputs to host numpy, multi-host aware: globally
+    sharded outputs are allgathered so every process sees the full batch
+    (the reporting/aggregation side of the reference's per-image prints);
+    single-process is a plain device_get."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        return jax.tree.map(
+            lambda x: np.asarray(multihost_utils.process_allgather(
+                x, tiled=True)), tree)
+    return jax.tree.map(np.asarray, tree)
+
+
 def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh
                 ) -> Dict[str, jnp.ndarray]:
     """Place a host batch with the leading axis sharded over 'data'.

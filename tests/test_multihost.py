@@ -147,3 +147,114 @@ def test_two_process_training_matches_single_process(tmp_path):
         sum(float(np.sum(l)) for l in leaves), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(leaves[0]), dist["first"],
                                rtol=1e-5, atol=1e-7)
+
+
+EVAL_WORKER = r"""
+import os, sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, os.environ["REPO_ROOT"])
+
+from dt4image_restoration_tpu.training.sharding import (
+    maybe_initialize_distributed, make_mesh)
+maybe_initialize_distributed()
+assert jax.process_count() == 2, jax.process_count()
+
+import jax.numpy as jnp
+from dt4image_restoration_tpu.config import ModelConfig
+from dt4image_restoration_tpu.data import make_mat_record
+from dt4image_restoration_tpu.inference import Evaluator
+from dt4image_restoration_tpu.models.decision_transformer import (
+    init_dt_params, make_dt_apply)
+
+rank = jax.process_index()
+cfg = ModelConfig(block_size=18, n_embeds=9, mode="norm")
+params = init_dt_params(cfg, seed=0)
+
+
+def stub_denoise(img, sigma):
+    return jnp.clip(0.8 * img + 0.1, 0.0, 1.0)
+
+
+def record(i):
+    mat = dict(make_mat_record(seed=i))
+    states = mat["x0"][..., 0].reshape(1, -1).astype(np.float32)
+    mat["x0"] = np.clip(mat["x0"], 0, None)
+    return ((states, np.full((1, 1), 0.6, np.float32),
+             np.zeros(3, np.float32), np.asarray([2], np.int32)), mat)
+
+
+# Global batch = records 0..3 in process order; each process feeds 2.
+local = [record(rank * 2), record(rank * 2 + 1)]
+mesh = make_mesh(n_data=len(jax.devices()), n_model=1)
+with mesh:
+    ev = Evaluator(dt_apply=make_dt_apply(cfg), dt_params=params,
+                   denoise=stub_denoise, cfg=cfg, max_timesteps=8,
+                   mesh=mesh)
+    m = ev.evaluate_records(local)
+
+if rank == 0:
+    np.savez(os.environ["OUT_PATH"], reward=m["reward"],
+             ep_len=m["episode_len"])
+print("EVAL_WORKER_OK", rank, [round(float(v), 4) for v in m["reward"]])
+"""
+
+
+def test_two_process_eval_matches_single_process(tmp_path):
+    """Multi-host inference: 2 processes each feed their local slice of a
+    4-image batch through the sharded Evaluator; rank 0's slice must equal
+    the same records evaluated single-process."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    out_path = str(tmp_path / "rank0_eval.npz")
+    procs = []
+    for rank in range(2):
+        env = dict(
+            os.environ,
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(rank),
+            REPO_ROOT=REPO,
+            OUT_PATH=out_path,
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", EVAL_WORKER], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{out[-3000:]}"
+        assert f"EVAL_WORKER_OK {rank}" in out
+
+    dist = np.load(out_path)
+
+    import jax.numpy as jnp
+    from dt4image_restoration_tpu.config import ModelConfig
+    from dt4image_restoration_tpu.data import make_mat_record
+    from dt4image_restoration_tpu.inference import Evaluator
+    from dt4image_restoration_tpu.models.decision_transformer import (
+        init_dt_params, make_dt_apply)
+
+    cfg = ModelConfig(block_size=18, n_embeds=9, mode="norm")
+    params = init_dt_params(cfg, seed=0)
+
+    def stub_denoise(img, sigma):
+        return jnp.clip(0.8 * img + 0.1, 0.0, 1.0)
+
+    def record(i):
+        mat = dict(make_mat_record(seed=i))
+        states = mat["x0"][..., 0].reshape(1, -1).astype(np.float32)
+        mat["x0"] = np.clip(mat["x0"], 0, None)
+        return ((states, np.full((1, 1), 0.6, np.float32),
+                 np.zeros(3, np.float32), np.asarray([2], np.int32)), mat)
+
+    ev = Evaluator(dt_apply=make_dt_apply(cfg), dt_params=params,
+                   denoise=stub_denoise, cfg=cfg, max_timesteps=8)
+    want = ev.evaluate_records([record(0), record(1)])
+
+    np.testing.assert_allclose(dist["reward"], want["reward"],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(dist["ep_len"], want["episode_len"])
