@@ -311,17 +311,23 @@ class DeviceMCTS(MCTS):
         root_bufs = self._seed_bufs(
             env_state.x_real.reshape(len(records), -1), rtg0, task)
 
+        z_all = jnp.asarray(z_all)
         if self.mesh is not None:
             # Multi-host aware: each process feeds its local tree slice
-            # (training/sharding.py shard_eval_inputs).
+            # (training/sharding.py shard_eval_inputs). EVERY per-tree
+            # input must shard together — rtg0 on the leading axis, the
+            # pre-drawn normals on axis 1 (their layout is
+            # (iterations, trees, draws)).
+            from jax.sharding import PartitionSpec as P
             from dt4image_restoration_tpu.training.sharding import (
                 shard_eval_inputs)
-            env_state, root_bufs = shard_eval_inputs(
-                (env_state, root_bufs), self.mesh)
+            env_state, root_bufs, rtg0 = shard_eval_inputs(
+                (env_state, root_bufs, rtg0), self.mesh)
+            z_all = shard_eval_inputs(z_all, self.mesh,
+                                      spec=P(None, "data"))
 
         final_reward, best_final, best_ep, traces = self._search_all(
-            self.dt_params, root_bufs, env_state, rtg0,
-            jnp.asarray(z_all))
+            self.dt_params, root_bufs, env_state, rtg0, z_all)
         from dt4image_restoration_tpu.training.sharding import (
             gather_eval_outputs)
         final_reward, best_final, best_ep, traces = gather_eval_outputs(

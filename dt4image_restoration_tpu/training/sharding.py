@@ -190,14 +190,15 @@ def shard_params(params, mesh: Mesh, tensor_parallel: bool = False):
         params, specs)
 
 
-def shard_eval_inputs(tree, mesh: Mesh):
+def shard_eval_inputs(tree, mesh: Mesh, spec: P = P("data")):
     """Shard a pytree of batched inference inputs over the mesh's data
     axis, multi-host aware: on a pod each process passes only ITS slice of
     the global batch (``make_array_from_process_local_data``, like
     :func:`shard_batch`); single-process falls back to a plain
-    ``device_put``. Used by the Evaluator and the tree-search backends."""
+    ``device_put``. ``spec`` names the batch axis position (default:
+    leading). Used by the Evaluator and the tree-search backends."""
     def put(x):
-        sharding = NamedSharding(mesh, P("data"))
+        sharding = NamedSharding(mesh, spec)
         if jax.process_count() > 1:
             return jax.make_array_from_process_local_data(
                 sharding, np.asarray(x))

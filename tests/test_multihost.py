@@ -258,3 +258,124 @@ def test_two_process_eval_matches_single_process(tmp_path):
     np.testing.assert_allclose(dist["reward"], want["reward"],
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_array_equal(dist["ep_len"], want["episode_len"])
+
+
+MCTS_WORKER = r"""
+import os, sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, os.environ["REPO_ROOT"])
+
+from dt4image_restoration_tpu.training.sharding import (
+    maybe_initialize_distributed, make_mesh)
+maybe_initialize_distributed()
+assert jax.process_count() == 2, jax.process_count()
+
+import jax.numpy as jnp
+from dt4image_restoration_tpu.config import MCTSConfig, ModelConfig
+from dt4image_restoration_tpu.data import make_mat_record
+from dt4image_restoration_tpu.inference.mcts_device import DeviceMCTS
+from dt4image_restoration_tpu.models.decision_transformer import (
+    init_dt_params, make_dt_apply)
+
+rank = jax.process_index()
+cfg = ModelConfig(block_size=18, n_embeds=9, mode="norm")
+params = init_dt_params(cfg, seed=0)
+
+
+def stub_denoise(img, sigma):
+    return jnp.clip(0.85 * img + 0.05 + 0.1 * sigma[:, None, None, None],
+                    0.0, 1.0)
+
+
+def qvalue(x):
+    return jnp.round(jnp.mean(x, axis=(1, 2)) * 1e3) / 10.0
+
+
+def record(i):
+    mat = dict(make_mat_record(seed=i))
+    mat["x0"] = np.clip(mat["x0"], 0, None)
+    states = mat["x0"][..., 0].reshape(1, -1).astype(np.float32)
+    return ((states, np.full((1, 1), 0.6, np.float32),
+             np.zeros(3, np.float32), np.asarray([2], np.int32)), mat)
+
+
+mesh = make_mesh(n_data=len(jax.devices()), n_model=1)
+mcts = DeviceMCTS(dt_apply=make_dt_apply(cfg), dt_params=params,
+                  denoise=stub_denoise, model_cfg=cfg,
+                  cfg=MCTSConfig(iterations=2, max_timesteps=6),
+                  value_fn=lambda x: 0.0, value_fn_jax=qvalue, mesh=mesh)
+# Global batch = trees 0..3 in process order; each process feeds 2.
+local = [record(rank * 2), record(rank * 2 + 1)]
+with mesh:
+    rewards = mcts.run_batch(local, seeds=[rank * 2 + 5, rank * 2 + 6],
+                             verbose=False)
+
+if rank == 0:
+    np.savez(os.environ["OUT_PATH"], rewards=np.asarray(rewards))
+print("MCTS_WORKER_OK", rank, [round(v, 4) for v in rewards])
+"""
+
+
+def test_two_process_device_mcts_matches_single_process(tmp_path):
+    """Multi-host device tree search: 2 processes each feed their local
+    trees; rank 0's rewards must equal the same records searched
+    single-process with the same seeds."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    out_path = str(tmp_path / "rank0_mcts.npz")
+    procs = []
+    for rank in range(2):
+        env = dict(
+            os.environ,
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(rank),
+            REPO_ROOT=REPO,
+            OUT_PATH=out_path,
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", MCTS_WORKER], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{out[-3000:]}"
+        assert f"MCTS_WORKER_OK {rank}" in out
+
+    dist = np.load(out_path)
+
+    import jax.numpy as jnp
+    from dt4image_restoration_tpu.config import MCTSConfig, ModelConfig
+    from dt4image_restoration_tpu.data import make_mat_record
+    from dt4image_restoration_tpu.inference.mcts_device import DeviceMCTS
+    from dt4image_restoration_tpu.models.decision_transformer import (
+        init_dt_params, make_dt_apply)
+
+    cfg = ModelConfig(block_size=18, n_embeds=9, mode="norm")
+    params = init_dt_params(cfg, seed=0)
+
+    def stub_denoise(img, sigma):
+        return jnp.clip(0.85 * img + 0.05
+                        + 0.1 * sigma[:, None, None, None], 0.0, 1.0)
+
+    def qvalue(x):
+        return jnp.round(jnp.mean(x, axis=(1, 2)) * 1e3) / 10.0
+
+    def record(i):
+        mat = dict(make_mat_record(seed=i))
+        mat["x0"] = np.clip(mat["x0"], 0, None)
+        states = mat["x0"][..., 0].reshape(1, -1).astype(np.float32)
+        return ((states, np.full((1, 1), 0.6, np.float32),
+                 np.zeros(3, np.float32), np.asarray([2], np.int32)), mat)
+
+    single = DeviceMCTS(dt_apply=make_dt_apply(cfg), dt_params=params,
+                        denoise=stub_denoise, model_cfg=cfg,
+                        cfg=MCTSConfig(iterations=2, max_timesteps=6),
+                        value_fn=lambda x: 0.0, value_fn_jax=qvalue)
+    want = single.run_batch([record(0), record(1)], seeds=[5, 6],
+                            verbose=False)
+    np.testing.assert_allclose(dist["rewards"], want, rtol=1e-4)
