@@ -258,3 +258,32 @@ def test_device_search_uncached_encoder_matches_host(params):
             (d["time"], d["edge"], d["index"])
         np.testing.assert_allclose(h["reward"], d["reward"], rtol=1e-5)
     np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_device_search_bf16_compute_runs():
+    """--dtype bfloat16 on mcts (the reference's autocast policy applied
+    to search): bf16 DT compute must produce a finite, PSNR-like result
+    close to the f32 search's."""
+    cfg16 = ModelConfig(block_size=18, n_embeds=9, mode="norm",
+                        dtype="bfloat16")
+    params = init_dt_params(CFG, seed=0)
+
+    def dt_apply16(params, rtg, states, timesteps, task, actions):
+        return DecisionTransformer(cfg16).apply(
+            {"params": params}, rtg, states, timesteps, task, actions)
+
+    r = _record(seed=2)
+    f32 = DeviceMCTS(dt_apply=dt_apply, dt_params=params,
+                     denoise=stub_denoise, model_cfg=CFG, cfg=SEARCH,
+                     value_fn=quantized_value_host,
+                     value_fn_jax=quantized_value_jax)
+    bf16 = DeviceMCTS(dt_apply=dt_apply16, dt_params=params,
+                      denoise=stub_denoise, model_cfg=cfg16, cfg=SEARCH,
+                      value_fn=quantized_value_host,
+                      value_fn_jax=quantized_value_jax)
+    a = f32.run_batch([r], seeds=[3], verbose=False)[0]
+    b = bf16.run_batch([r], seeds=[3], verbose=False)[0]
+    assert np.isfinite(b) and 0 < b < 60
+    # Search decisions may legally flip under bf16 rounding; the recovered
+    # quality must stay in the same band.
+    assert abs(a - b) < 2.0, (a, b)
