@@ -1,0 +1,193 @@
+"""End-to-end learning validation: the full pipeline (trajectory
+recording -> json/h5 dataset -> DT training -> greedy evaluation) learns a
+restoration policy.
+
+The published trajectory dataset is download-gated (reference README.md:11),
+so this generates expert trajectories by rolling the REAL environment under
+a scripted policy (decaying sigma_d, fixed mu, stop at step 8), writes them
+in the reference's exact on-disk format (one json per trajectory + one
+HDF5 of uint8 states, datasets.py:38-132), trains the Decision Transformer
+on them, and evaluates greedily on held-out slices.
+
+Success criterion: the trained policy's PSNR increment over the zero-filled
+baseline approaches the scripted expert's and clearly beats the
+random-init DT.
+
+Run on TPU:  python benchmarks/policy_learning_demo.py
+Prints one JSON line.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+N_TRAJ = 48
+EP_LEN = 8
+TRAIN_STEPS = 300
+BATCH = 16
+HELD_OUT = 7
+
+
+def main() -> None:
+    import h5py
+    import jax
+    import jax.numpy as jnp
+
+    from dt4image_restoration_tpu.config import (
+        ModelConfig, TrainerConfig, OPTIMAL_RTG_RANGE, OPTIMAL_TASKS)
+    from dt4image_restoration_tpu.data import make_mat_record
+    from dt4image_restoration_tpu.data.datasets import TrainingDataset
+    from dt4image_restoration_tpu.env import (
+        admm_step, compute_reward, get_policy_ob, reset_from_mat)
+    from dt4image_restoration_tpu.inference import Evaluator
+    from dt4image_restoration_tpu.models import UNetDenoiser
+    from dt4image_restoration_tpu.models.decision_transformer import (
+        init_dt_params, make_dt_apply)
+    from dt4image_restoration_tpu.training import (
+        TrainState, make_optimizer, make_train_step)
+    from dt4image_restoration_tpu.utils.checkpoint import (
+        convert_unet_state_dict)
+    from dt4image_restoration_tpu.utils.torch_reference import (
+        random_unet_state_dict)
+
+    results = {"platform": jax.devices()[0].platform}
+
+    den_params = convert_unet_state_dict(random_unet_state_dict(0))
+    den_model = UNetDenoiser()
+    denoise = lambda img, sig: den_model.apply({"params": den_params},
+                                               img, sig)
+
+    # Scripted expert: decaying denoiser strength, fixed data-consistency
+    # weight, stop after EP_LEN steps.
+    def expert_action(t):
+        if t == EP_LEN - 1:
+            return {"T": 0.9, "sigma_d": 8 / 255.0, "mu": 0.5}
+        sig = (25.0 - t * 2.0) / 255.0
+        return {"T": 0.02 * t, "sigma_d": sig, "mu": 0.5}
+
+    step_jit = jax.jit(lambda s, a: admm_step(denoise, s, a))
+
+    def rollout_expert(mat):
+        """Returns (obs list, action dicts, psnr history incl. final)."""
+        state = reset_from_mat(mat)
+        obs = [np.asarray(get_policy_ob(state))[0]]
+        psnrs = [float(np.asarray(compute_reward(state))[0, 0])]
+        actions = []
+        for t in range(EP_LEN):
+            a = expert_action(t)
+            actions.append(a)
+            state = step_jit(
+                state, {k: jnp.full((1,), v, jnp.float32)
+                        for k, v in a.items()})
+            psnrs.append(float(np.asarray(compute_reward(state))[0, 0]))
+            if t < EP_LEN - 1:
+                obs.append(np.asarray(get_policy_ob(state))[0])
+        return obs, actions, psnrs
+
+    # --- record trajectories in the reference's on-disk format ----------
+    tmp = tempfile.mkdtemp(prefix="dt4ir_demo_")
+    traj_dir = os.path.join(tmp, "trajs")
+    os.makedirs(traj_dir)
+    h5_path = os.path.join(tmp, "states.h5")
+    expert_gain = []
+    with h5py.File(h5_path, "w") as f:
+        for i in range(N_TRAJ):
+            mat = dict(make_mat_record(seed=i))
+            mat["x0"] = np.clip(mat["x0"], 0, None)
+            obs, actions, psnrs = rollout_expert(mat)
+            final = psnrs[-1]
+            expert_gain.append(final - psnrs[0])
+            paths = []
+            for t, ob in enumerate(obs):
+                key = f"traj{i}/s{t}"
+                img = np.clip(ob.reshape(128, 128), 0, 1)
+                f.create_dataset(key, data=(img * 255).astype(np.uint8))
+                paths.append("0123456789" + key)
+            traj = {
+                "RTG": [final - p for p in psnrs[:EP_LEN]],
+                "Actions": {k: [float(a[k]) for a in actions]
+                            for k in ("T", "sigma_d", "mu")},
+                "State Paths": paths,
+                "Task": "4x_15",
+            }
+            with open(os.path.join(traj_dir, f"traj_{i}.json"), "w") as jf:
+                json.dump(traj, jf)
+    results["expert_increment_db"] = round(float(np.mean(expert_gain)), 3)
+
+    # --- train ------------------------------------------------------------
+    cfg = ModelConfig(block_size=18, n_embeds=9, mode="norm")
+    lo, hi = OPTIMAL_RTG_RANGE
+    ds = TrainingDataset(
+        block_size=18, data_dir=traj_dir, action_dim=3,
+        state_file_path=h5_path, tasks=OPTIMAL_TASKS,
+        min_rtg=lo, max_rtg=hi, normalize_rtg=True,
+        rng=np.random.default_rng(0))
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        params0 = jax.device_get(init_dt_params(cfg, seed=0))
+    tcfg = TrainerConfig(warmup_steps=30, learning_rate=3e-4,
+                         batch_size=BATCH)
+    optimizer = make_optimizer(tcfg, max_steps=TRAIN_STEPS, params=params0)
+    step_fn = make_train_step(make_dt_apply(cfg, train=True), optimizer)
+    state = TrainState(params=jax.tree.map(jnp.asarray, params0),
+                       opt_state=optimizer.init(params0),
+                       step=jnp.zeros((), jnp.int32))
+    key = jax.random.PRNGKey(0)
+    t0 = time.perf_counter()
+    steps, losses = 0, []
+    epoch = 0
+    while steps < TRAIN_STEPS:
+        for batch in ds.batches(BATCH, seed=epoch):
+            key, sub = jax.random.split(key)
+            state, loss = step_fn(
+                state, {k: jnp.asarray(v) for k, v in batch.items()}, sub)
+            losses.append(loss)
+            steps += 1
+            if steps >= TRAIN_STEPS:
+                break
+        epoch += 1
+    results["train_steps"] = steps
+    results["train_wall_s"] = round(time.perf_counter() - t0, 1)
+    results["loss_first10"] = round(
+        float(np.mean([float(l) for l in losses[:10]])), 4)
+    results["loss_last10"] = round(
+        float(np.mean([float(l) for l in losses[-10:]])), 4)
+
+    # --- evaluate on held-out slices --------------------------------------
+    target = float(np.mean(expert_gain))
+    rtg_norm = (target - lo) / (hi - lo)
+
+    def records(n, seed0):
+        out = []
+        for i in range(n):
+            mat = dict(make_mat_record(seed=seed0 + i))
+            states = mat["x0"][..., 0].reshape(1, -1).astype(np.float32)
+            mat["x0"] = np.clip(mat["x0"], 0, None)
+            out.append(((states, np.full((1, 1), rtg_norm, np.float32),
+                         np.zeros(3, np.float32),
+                         np.asarray([OPTIMAL_TASKS.index("4x_15")],
+                                    np.int32)), mat))
+        return out
+
+    recs = records(HELD_OUT, seed0=10_000)
+    for tag, p in (("trained", jax.device_get(state.params)),
+                   ("random_init", params0)):
+        ev = Evaluator(dt_apply=make_dt_apply(cfg), dt_params=p,
+                       denoise=denoise, cfg=cfg, max_timesteps=30)
+        m = ev.evaluate_records(recs)
+        results[f"{tag}_increment_db"] = round(
+            float(np.mean(m["increment"])), 3)
+        results[f"{tag}_mean_episode_len"] = float(
+            np.mean(m["episode_len"]))
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -26,5 +26,9 @@ python benchmarks/train_bench.py
 #serving throughput/latency (batching service, policy + mcts modes)
 python benchmarks/serving_bench.py
 
+#end-to-end learning validation (record expert trajectories -> train ->
+#held-out greedy eval reproduces the expert's PSNR gain)
+python benchmarks/policy_learning_demo.py
+
 #pallas-vs-XLA kernel benchmark
 python benchmarks/pallas_bench.py
