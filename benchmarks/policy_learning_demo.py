@@ -176,8 +176,8 @@ def main() -> None:
         return out
 
     recs = records(HELD_OUT, seed0=10_000)
-    for tag, p in (("trained", jax.device_get(state.params)),
-                   ("random_init", params0)):
+    trained = jax.device_get(state.params)
+    for tag, p in (("trained", trained), ("random_init", params0)):
         ev = Evaluator(dt_apply=make_dt_apply(cfg), dt_params=p,
                        denoise=denoise, cfg=cfg, max_timesteps=30)
         m = ev.evaluate_records(recs)
@@ -185,6 +185,25 @@ def main() -> None:
             float(np.mean(m["increment"])), 3)
         results[f"{tag}_mean_episode_len"] = float(
             np.mean(m["episode_len"]))
+
+    # Tree search around the trained policy (device backend, proxy value
+    # model): does exploring sampled (sigma_d, mu) perturbations find
+    # better programs than the greedy decode? Honest either way — the
+    # search optimizes the no-reference score, not PSNR.
+    from dt4image_restoration_tpu.config import MCTSConfig
+    from dt4image_restoration_tpu.inference.mcts_device import DeviceMCTS
+    from dt4image_restoration_tpu.models.arniqa import proxy_value_fn
+    from dt4image_restoration_tpu.env import compute_reward as _cr
+    dm = DeviceMCTS(dt_apply=make_dt_apply(cfg), dt_params=trained,
+                    denoise=denoise, model_cfg=cfg,
+                    cfg=MCTSConfig(iterations=30),
+                    value_fn=proxy_value_fn)
+    rewards = dm.run_batch(recs, seeds=list(range(HELD_OUT)),
+                           verbose=False)
+    baselines = [float(np.asarray(_cr(reset_from_mat(r[1])))[0, 0])
+                 for r in recs]
+    results["trained_mcts_increment_db"] = round(
+        float(np.mean([r - b for r, b in zip(rewards, baselines)])), 3)
 
     print(json.dumps(results))
 
