@@ -162,7 +162,10 @@ class TrainingDataset:
             np.random.default_rng(seed).shuffle(order)
         if num_shards > 1 and len(order) % num_shards:
             total = -(-len(order) // num_shards) * num_shards
-            order = np.concatenate([order, order[:total - len(order)]])
+            # np.resize repeats CYCLICALLY — a single slice-concat would
+            # under-pad whenever pad > len(order) (e.g. 3 items on 8
+            # shards) and break the equal-count guarantee.
+            order = np.resize(order, total)
         order = order[shard_index::num_shards]
         n = len(order) - (len(order) % batch_size if drop_remainder else 0)
         for i in range(0, n, batch_size):

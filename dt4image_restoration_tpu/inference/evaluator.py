@@ -386,13 +386,12 @@ class Evaluator:
         wall = _time.perf_counter() - t0
 
         from dt4image_restoration_tpu.training.sharding import (
-            gather_eval_outputs)
+            gather_eval_outputs, local_output_offset)
         reward, old, ep_len = gather_eval_outputs(
             (reward, old_reward, ep_len))
         # Multi-host gathers return the GLOBAL batch; this process's slice
-        # starts at its offset in process order.
-        off = jax.process_index() * (len(records) if jax.process_count() > 1
-                                     else 0)
+        # starts at its offset in process order (equal counts asserted).
+        off = local_output_offset(len(records))
         reward = reward[off:off + n, 0]
         old = old[off:off + n, 0]
         ep_len = ep_len[off:off + n]

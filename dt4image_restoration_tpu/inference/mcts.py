@@ -439,6 +439,11 @@ class MCTS:
         batched search equals N sequential searches up to batching-induced
         float reordering.
         """
+        if self.mesh is not None and jax.process_count() > 1:
+            raise ValueError(
+                "the host-tree backend syncs host state every iteration "
+                "and cannot span processes — use DeviceMCTS "
+                "(--tree_backend device) on a pod")
         records, seeds, n_out = self._prepare_batch(records, seeds)
         rngs = [np.random.default_rng(s) for s in seeds]
         self.traces = [[] for _ in records] if self.record_trace else None

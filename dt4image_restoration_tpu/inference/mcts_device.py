@@ -328,21 +328,23 @@ class DeviceMCTS(MCTS):
 
         final_reward, best_final, best_ep, traces = self._search_all(
             self.dt_params, root_bufs, env_state, rtg0, z_all)
+        # Fetch ONLY what the caller asked for: the default path moves one
+        # scalar per tree over the link; images/episode lengths only when
+        # ``detailed``, traces only when ``record_trace``.
         from dt4image_restoration_tpu.training.sharding import (
-            gather_eval_outputs)
-        final_reward, best_final, best_ep, traces = gather_eval_outputs(
-            (final_reward, best_final, best_ep, traces))
+            gather_eval_outputs, local_output_offset)
+        final_reward = gather_eval_outputs(final_reward)
         # Multi-host gathers return the GLOBAL batch; slice this process's
-        # share (records is the padded local list).
-        off = jax.process_index() * (len(records) if jax.process_count() > 1
-                                     else 0)
+        # share (records is the padded local list; equal counts asserted).
+        off = local_output_offset(len(records))
         final_reward = final_reward[off:off + n_out]
 
         if self.record_trace:
             # Traces are (iterations, global_batch, ...); take this
             # process's columns.
             leaf, t_leaf, probs, r = jax.tree.map(
-                lambda x: x[:, off:off + n_out], traces)
+                lambda x: x[:, off:off + n_out],
+                gather_eval_outputs(traces))
             self.traces = []
             for j in range(n_out):
                 tr = []
@@ -362,8 +364,16 @@ class DeviceMCTS(MCTS):
                 print("MCTS Reward: ", float(v))
             out.append(float(v))
         if detailed:
-            images = np.asarray(best_final)[off:off + n_out, 0]
-            eps = np.asarray(best_ep)[off:off + n_out]
+            # Device-side slice first so only live rows cross the link on
+            # single-process; multi-host gathers the global stack.
+            if jax.process_count() > 1:
+                best_final, best_ep = gather_eval_outputs(
+                    (best_final, best_ep))
+                images = np.asarray(best_final[off:off + n_out, 0])
+                eps = np.asarray(best_ep[off:off + n_out])
+            else:
+                images = np.asarray(best_final[:n_out, 0])
+                eps = np.asarray(best_ep[:n_out])
             return [{"reward": out[i], "image": images[i],
                      "episode_len": int(eps[i])}
                     for i in range(n_out)]

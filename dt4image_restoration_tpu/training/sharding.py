@@ -220,6 +220,28 @@ def gather_eval_outputs(tree):
     return jax.tree.map(np.asarray, tree)
 
 
+def local_output_offset(n_local_padded: int) -> int:
+    """This process's row offset into gathered global outputs.
+
+    The offset arithmetic (``process_index * local_count``) is only valid
+    when every process submitted the SAME padded local count — asserted
+    here with an allgather so a mismatched split fails loudly instead of
+    silently misattributing another process's results. Single-process:
+    0."""
+    if jax.process_count() <= 1:
+        return 0
+    from jax.experimental import multihost_utils
+    counts = np.asarray(multihost_utils.process_allgather(
+        np.asarray([n_local_padded])))
+    counts = counts.reshape(-1)
+    if not (counts == n_local_padded).all():
+        raise ValueError(
+            f"multi-host inference needs equal per-process record counts; "
+            f"got {counts.tolist()} (pad every process to the same "
+            f"length)")
+    return jax.process_index() * n_local_padded
+
+
 def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh
                 ) -> Dict[str, jnp.ndarray]:
     """Place a host batch with the leading axis sharded over 'data'.

@@ -227,3 +227,14 @@ def test_background_batches_propagates_iterator_errors():
     assert next(it)["ok"].shape == (1,)
     with pytest.raises(ValueError, match="corrupt trajectory"):
         next(it)
+
+
+def test_sharded_batches_pad_exceeds_dataset(traj_dir):
+    """Wrap-padding must repeat cyclically: 3 trajectories on 8 shards
+    (pad 5 > len) still gives every shard exactly one item."""
+    ds = _make_ds(traj_dir)  # 3 trajectories
+    counts = [sum(b["states"].shape[0]
+                  for b in ds.batches(batch_size=1, seed=0,
+                                      shard_index=i, num_shards=8))
+              for i in range(8)]
+    assert counts == [1] * 8
