@@ -75,6 +75,7 @@ if rank == 0:
     np.savez(os.environ["OUT_PATH"], loss=np.float32(loss),
              checksum=np.float64(sum(float(np.sum(l)) for l in leaves)),
              first=np.asarray(leaves[0]))
+open(os.environ["OUT_PATH"] + f".ok{rank}", "w").write("ok")
 print("WORKER_OK", rank, loss)
 """
 
@@ -102,7 +103,8 @@ def test_two_process_training_matches_single_process(tmp_path):
     outs = [p.communicate(timeout=600)[0] for p in procs]
     for rank, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {rank} failed:\n{out[-3000:]}"
-        assert f"WORKER_OK {rank}" in out
+        assert os.path.exists(out_path + f".ok{rank}"), \
+            f"rank {rank} missing success sentinel:\n{out[-3000:]}"
 
     dist = np.load(out_path)
 
@@ -197,6 +199,7 @@ with mesh:
 if rank == 0:
     np.savez(os.environ["OUT_PATH"], reward=m["reward"],
              ep_len=m["episode_len"])
+open(os.environ["OUT_PATH"] + f".ok{rank}", "w").write("ok")
 print("EVAL_WORKER_OK", rank, [round(float(v), 4) for v in m["reward"]])
 """
 
@@ -227,7 +230,8 @@ def test_two_process_eval_matches_single_process(tmp_path):
     outs = [p.communicate(timeout=600)[0] for p in procs]
     for rank, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {rank} failed:\n{out[-3000:]}"
-        assert f"EVAL_WORKER_OK {rank}" in out
+        assert os.path.exists(out_path + f".ok{rank}"), \
+            f"rank {rank} missing success sentinel:\n{out[-3000:]}"
 
     dist = np.load(out_path)
 
@@ -314,6 +318,7 @@ with mesh:
 
 if rank == 0:
     np.savez(os.environ["OUT_PATH"], rewards=np.asarray(rewards))
+open(os.environ["OUT_PATH"] + f".ok{rank}", "w").write("ok")
 print("MCTS_WORKER_OK", rank, [round(v, 4) for v in rewards])
 """
 
@@ -344,7 +349,8 @@ def test_two_process_device_mcts_matches_single_process(tmp_path):
     outs = [p.communicate(timeout=600)[0] for p in procs]
     for rank, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {rank} failed:\n{out[-3000:]}"
-        assert f"MCTS_WORKER_OK {rank}" in out
+        assert os.path.exists(out_path + f".ok{rank}"), \
+            f"rank {rank} missing success sentinel:\n{out[-3000:]}"
 
     dist = np.load(out_path)
 
