@@ -388,10 +388,10 @@ class Evaluator:
         from dt4image_restoration_tpu.training.sharding import (
             gather_eval_outputs, local_output_offset)
         reward, old, ep_len = gather_eval_outputs(
-            (reward, old_reward, ep_len))
+            (reward, old_reward, ep_len), mesh=self.mesh)
         # Multi-host gathers return the GLOBAL batch; this process's slice
         # starts at its offset in process order (equal counts asserted).
-        off = local_output_offset(len(records))
+        off = local_output_offset(len(records), mesh=self.mesh)
         reward = reward[off:off + n, 0]
         old = old[off:off + n, 0]
         ep_len = ep_len[off:off + n]

@@ -198,19 +198,25 @@ class DeviceMCTS(MCTS):
                         (advance | retry).astype(i32))
                     return new_cur, visits, stopped | (fc < 0), it + 1
 
-                cur, visits, _, _ = jax.lax.while_loop(
+                cur, visits, stopped, _ = jax.lax.while_loop(
                     cond, body,
                     (jnp.zeros((n,), i32), visits,
                      jnp.zeros((n,), bool), jnp.asarray(0, i32)))
-                return cur, visits
+                # Lanes still descending at the iteration bound gave up on
+                # floor recovery and will re-expand an internal node —
+                # host parity is broken for them. Surfaced to the caller
+                # (the host backend would keep inflating visits instead).
+                return cur, visits, ~stopped
 
             def body(carry, it):
                 (node_x, node_z, node_u, node_T, parent, first_child, time,
                  prob, reward, visits, policy_rtg, buf_id, bank,
-                 best_reward, best_final, best_ep) = carry
+                 best_reward, best_final, best_ep, bailed_acc) = carry
                 i, z_i = it
 
-                leaf, visits = select(first_child, prob, reward, visits)
+                leaf, visits, bailed = select(first_child, prob, reward,
+                                              visits)
+                bailed_acc = bailed_acc | bailed
                 t_vec = time[tr, leaf]
                 env = CSMRIState(
                     x=node_x[tr, leaf], z=node_z[tr, leaf],
@@ -262,19 +268,21 @@ class DeviceMCTS(MCTS):
                 trace = (leaf, t_vec, probs, r)
                 return (node_x, node_z, node_u, node_T, parent, first_child,
                         time, prob, reward, visits, policy_rtg, buf_id,
-                        bank, best_reward, best_final, best_ep), trace
+                        bank, best_reward, best_final, best_ep,
+                        bailed_acc), trace
 
             carry = (node_x, node_z, node_u, node_T, parent, first_child,
                      time, prob, reward, visits, policy_rtg, buf_id, bank,
-                     best_reward, best_final, best_ep)
+                     best_reward, best_final, best_ep,
+                     jnp.zeros((n,), bool))
             carry, traces = jax.lax.scan(
                 body, carry, (jnp.arange(I, dtype=i32), z_all))
-            best_final, best_ep = carry[-2], carry[-1]
+            best_final, best_ep, bailed = carry[-3], carry[-2], carry[-1]
             # Final score: PSNR of the best program's stored terminal image
             # vs gt (mcts.py:165-192; argument order immaterial — symmetric
             # MSE over [0,1] images, same as the host backend).
             final_reward = psnr(root_env.gt, best_final)[:, 0]
-            return final_reward, best_final, best_ep, traces
+            return final_reward, best_final, best_ep, bailed, traces
 
         self._search_all = jax.jit(search_all)
 
@@ -326,25 +334,40 @@ class DeviceMCTS(MCTS):
             z_all = shard_eval_inputs(z_all, self.mesh,
                                       spec=P(None, "data"))
 
-        final_reward, best_final, best_ep, traces = self._search_all(
+        final_reward, best_final, best_ep, bailed, traces = self._search_all(
             self.dt_params, root_bufs, env_state, rtg0, z_all)
         # Fetch ONLY what the caller asked for: the default path moves one
-        # scalar per tree over the link; images/episode lengths only when
-        # ``detailed``, traces only when ``record_trace``.
+        # scalar per tree (plus the one-byte bail flag) over the link;
+        # images/episode lengths only when ``detailed``, traces only when
+        # ``record_trace``.
         from dt4image_restoration_tpu.training.sharding import (
             gather_eval_outputs, local_output_offset)
-        final_reward = gather_eval_outputs(final_reward)
+        final_reward, bailed = gather_eval_outputs(
+            (final_reward, bailed), mesh=self.mesh)
         # Multi-host gathers return the GLOBAL batch; slice this process's
         # share (records is the padded local list; equal counts asserted).
-        off = local_output_offset(len(records))
+        off = local_output_offset(len(records), mesh=self.mesh)
         final_reward = final_reward[off:off + n_out]
+        if bool(np.any(bailed[off:off + n_out])):
+            # The selection safety valve tripped: host/device parity is
+            # broken for the flagged trees (only reachable with a custom
+            # value_fn_jax at extreme scale — never with the shipped
+            # models). A warning, not an error: the search still returns
+            # a valid (if differently-explored) best program.
+            import warnings
+            idx = np.nonzero(bailed[off:off + n_out])[0].tolist()
+            warnings.warn(
+                f"DeviceMCTS selection gave up floor recovery on trees "
+                f"{idx}: the host backend would explore differently here "
+                f"(value scale likely pathological)", RuntimeWarning,
+                stacklevel=2)
 
         if self.record_trace:
             # Traces are (iterations, global_batch, ...); take this
             # process's columns.
             leaf, t_leaf, probs, r = jax.tree.map(
                 lambda x: x[:, off:off + n_out],
-                gather_eval_outputs(traces))
+                gather_eval_outputs(traces, mesh=self.mesh))
             self.traces = []
             for j in range(n_out):
                 tr = []
@@ -366,9 +389,9 @@ class DeviceMCTS(MCTS):
         if detailed:
             # Device-side slice first so only live rows cross the link on
             # single-process; multi-host gathers the global stack.
-            if jax.process_count() > 1:
+            if self.mesh is not None and jax.process_count() > 1:
                 best_final, best_ep = gather_eval_outputs(
-                    (best_final, best_ep))
+                    (best_final, best_ep), mesh=self.mesh)
                 images = np.asarray(best_final[off:off + n_out, 0])
                 eps = np.asarray(best_ep[off:off + n_out])
             else:

@@ -69,6 +69,10 @@ class RestorationService:
                  max_delay_s: float = 0.01,
                  search_cfg: Any = None,
                  value_fn_jax: Optional[Callable] = None) -> None:
+        if mode not in ("policy", "mcts", "fixed"):
+            raise ValueError(
+                f"unknown serving mode {mode!r}; expected one of "
+                "'policy', 'mcts', 'fixed'")
         if mode in ("policy", "mcts") and (cfg is None or dt_apply is None):
             raise ValueError(f"{mode} mode needs cfg + dt_apply + dt_params")
         self.mode = mode

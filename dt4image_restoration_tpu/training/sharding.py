@@ -207,12 +207,19 @@ def shard_eval_inputs(tree, mesh: Mesh, spec: P = P("data")):
     return jax.tree.map(put, tree)
 
 
-def gather_eval_outputs(tree):
+def gather_eval_outputs(tree, mesh: Optional[Mesh] = None):
     """Fetch inference outputs to host numpy, multi-host aware: globally
     sharded outputs are allgathered so every process sees the full batch
     (the reporting/aggregation side of the reference's per-image prints);
-    single-process is a plain device_get."""
-    if jax.process_count() > 1:
+    single-process is a plain device_get.
+
+    The collective path is gated on BOTH a multi-process runtime AND a
+    ``mesh``: an Evaluator/DeviceMCTS constructed with ``mesh=None`` inside
+    a multi-process job (e.g. a per-host serving queue) holds process-local
+    arrays — issuing cross-process collectives from its asynchronous calls
+    would deadlock the pod.
+    """
+    if mesh is not None and jax.process_count() > 1:
         from jax.experimental import multihost_utils
         return jax.tree.map(
             lambda x: np.asarray(multihost_utils.process_allgather(
@@ -220,15 +227,17 @@ def gather_eval_outputs(tree):
     return jax.tree.map(np.asarray, tree)
 
 
-def local_output_offset(n_local_padded: int) -> int:
+def local_output_offset(n_local_padded: int,
+                        mesh: Optional[Mesh] = None) -> int:
     """This process's row offset into gathered global outputs.
 
     The offset arithmetic (``process_index * local_count``) is only valid
     when every process submitted the SAME padded local count — asserted
     here with an allgather so a mismatched split fails loudly instead of
-    silently misattributing another process's results. Single-process:
-    0."""
-    if jax.process_count() <= 1:
+    silently misattributing another process's results. Single-process (or
+    ``mesh=None``, i.e. process-local inference in a multi-process job): 0.
+    """
+    if mesh is None or jax.process_count() <= 1:
         return 0
     from jax.experimental import multihost_utils
     counts = np.asarray(multihost_utils.process_allgather(

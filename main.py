@@ -161,17 +161,32 @@ def _make_evaluator(args, mode: str, ckpt: str, rtg_target, eval_type):
                      mesh=_eval_mesh())
 
 
+def _existing_dirs(dirs):
+    """Filter to directories that exist; warn about the skipped ones and
+    fail loudly (like the reference, main.py:205) when NONE exist — a
+    silent 0-image evaluation or a deflated average would be worse than
+    the crash."""
+    existing = [d for d in dirs if os.path.isdir(d)]
+    for d in dirs:
+        if d not in existing:
+            print(f"WARNING: skipping missing eval directory {d!r}",
+                  file=sys.stderr)
+    if not existing:
+        raise FileNotFoundError(
+            f"none of the evaluation directories exist: {dirs}")
+    return existing
+
+
 def cmd_eval(args) -> None:
     evaluator = _make_evaluator(args, "norm", args.checkpoint, args.rtg,
                                 "norm")
-    dirs = args.data_dirs or EVAL_DIRS_9
-    evaluator.run([d for d in dirs if os.path.isdir(d)] or dirs)
+    evaluator.run(_existing_dirs(args.data_dirs or EVAL_DIRS_9))
 
 
 def cmd_flex(args) -> None:
     from dt4image_restoration_tpu.config import ModelConfig
     from dt4image_restoration_tpu.inference import Evaluator
-    dirs = args.data_dirs or EVAL_DIRS_6
+    dirs = _existing_dirs(args.data_dirs or EVAL_DIRS_6)
     # Load the model/denoiser once; the 5 RTG-target evaluators share one
     # compiled program (reference reloads per target, main.py:200-203).
     cfg = ModelConfig(block_size=args.block_size, n_embeds=args.n_embeds,
@@ -184,7 +199,10 @@ def cmd_flex(args) -> None:
             cfg=cfg, max_timesteps=args.max_timesteps or 30,
             rtg_target=float(rtg), eval_type="flex", mesh=_eval_mesh())
         print(f"Test for reward increment: {rtg}\n")
-        total = evaluator.run([d for d in dirs if os.path.isdir(d)] or dirs)
+        # Average over the directories actually evaluated (a partial
+        # layout must not deflate the average; the reference would crash
+        # on the first missing dir instead, main.py:205).
+        total = evaluator.run(dirs)
         print(f"\nAverage increment: {total / len(dirs)}\n")
 
 
@@ -231,10 +249,10 @@ def cmd_mcts(args) -> None:
     else:  # 'device': the whole search is one XLA program per directory
         mcts = DeviceMCTS(mesh=_eval_mesh(), value_fn_jax=value_fn_jax,
                           **common)
-    dirs = args.data_dirs or EVAL_DIRS_9
+    dirs = _existing_dirs(args.data_dirs or EVAL_DIRS_9)
     total = 0.0
     if args.sequential:
-        for path in (d for d in dirs if os.path.isdir(d)):
+        for path in dirs:
             ds = EvaluationDataset(path, rtg_target=rtg_target,
                                    kind="optimal")
             for i in range(len(ds)):
@@ -244,7 +262,7 @@ def cmd_mcts(args) -> None:
         # measured throughput knee (benchmarks/RESULTS.md: ~B=16) so every
         # chunk shares one compiled program shape and one dispatch.
         records = []
-        for path in (d for d in dirs if os.path.isdir(d)):
+        for path in dirs:
             ds = EvaluationDataset(path, rtg_target=rtg_target,
                                    kind="optimal")
             records += [(ds[i], args.seed + i) for i in range(len(ds))]

@@ -157,3 +157,36 @@ def test_cli_mcts_multi_dir_chunked(tmp_path, capsys, monkeypatch):
     out = capsys.readouterr().out
     assert out.count("MCTS Reward") == 4  # all records across both dirs
     assert "Total MCTS reward:" in out
+
+
+def test_cli_flex_partial_layout_average(eval_dir, tmp_path, capsys,
+                                         monkeypatch):
+    """A missing eval directory is skipped with a warning and the printed
+    average divides by the number of directories actually evaluated —
+    not the requested count (round-2 verdict: the old total/len(dirs)
+    silently deflated the average in exactly the partial layout D9 made
+    survivable)."""
+    monkeypatch.setattr(cli, "FLEX_RTGS", [3])
+    missing = str(tmp_path / "no_such_dir")
+    cli.main(["--block_size", "18", "--n_embeds", "6", "flex",
+              "--max_timesteps", "8",
+              "--checkpoint", "/nonexistent.pt",
+              "--denoiser_ckpt", "/nonexistent.pt",
+              "--data_dirs", eval_dir, missing])
+    cap = capsys.readouterr()
+    assert "skipping missing eval directory" in cap.err
+    # One evaluated dir -> the average IS that dir's increment.
+    incr = float(cap.out.split("PSNR increment ")[1].split("\n")[0])
+    avg = float(cap.out.split("Average increment: ")[1].split("\n")[0])
+    np.testing.assert_allclose(avg, incr, rtol=1e-6)
+
+
+def test_cli_eval_all_dirs_missing_raises(tmp_path):
+    """When NO eval directory exists the CLI fails loudly (reference
+    main.py:205 crashes too) instead of evaluating nothing."""
+    with pytest.raises(FileNotFoundError, match="none of the evaluation"):
+        cli.main(["--block_size", "18", "--n_embeds", "9", "eval",
+                  "--rtg", "10", "--max_timesteps", "8",
+                  "--checkpoint", "/nonexistent.pt",
+                  "--denoiser_ckpt", "/nonexistent.pt",
+                  "--data_dirs", str(tmp_path / "missing")])

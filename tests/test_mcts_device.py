@@ -287,3 +287,25 @@ def test_device_search_bf16_compute_runs():
     # Search decisions may legally flip under bf16 rounding; the recovered
     # quality must stay in the same band.
     assert abs(a - b) < 2.0, (a, b)
+
+
+def test_device_selection_giveup_is_surfaced(params):
+    """Past the floor-recovery bound (deficit/prior >> 3: a pathological
+    value scale), the device descent gives up and re-expands an internal
+    node — structurally diverging from the host's unbounded visit
+    inflation. That silent parity break must be SURFACED: run_batch warns
+    naming the bailed trees, and the search still returns a finite score
+    (advisor round 2; inference/mcts_device.py select giveup)."""
+    def huge_value_jax(x):
+        # O(1e9) rewards: fresh children (reward 0) sit ~1e9 below their
+        # parent; recovery would need exp((1e9/prior)^2) retries.
+        return 1e9 + jnp.round(jnp.mean(x, axis=(1, 2)) * 1e3)
+
+    device = DeviceMCTS(dt_apply=dt_apply, dt_params=params,
+                        denoise=stub_denoise, model_cfg=CFG,
+                        cfg=MCTSConfig(iterations=3, max_timesteps=8),
+                        value_fn=lambda x: 0.0,
+                        value_fn_jax=huge_value_jax)
+    with pytest.warns(RuntimeWarning, match=r"gave up floor recovery.*\[0\]"):
+        out = device.run_batch([_record(seed=3)], seeds=[7], verbose=False)
+    assert np.isfinite(out[0])

@@ -182,3 +182,10 @@ def test_mixed_gt_batch_is_per_request():
         svc.close()
     assert a.psnr_db is not None and np.isfinite(a.psnr_db)
     assert b.psnr_db is None
+
+
+def test_unknown_mode_rejected():
+    """A typo'd mode ('mtcs') must raise at construction, not silently
+    fall through to the fixed-parameter branch (advisor round 2)."""
+    with pytest.raises(ValueError, match="unknown serving mode"):
+        RestorationService(denoise=stub_denoise, mode="mtcs")
