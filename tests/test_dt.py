@@ -2,12 +2,9 @@
 torch-functional execution of the reference architecture
 (/root/reference/transformer/decision_transformer.py:106-275), including the
 no-MLP-residual quirk and mode-dependent action key ordering."""
-import math
-
 import numpy as np
 import pytest
 import torch
-import torch.nn.functional as F
 import jax
 import jax.numpy as jnp
 
@@ -17,108 +14,13 @@ from dt4image_restoration_tpu.models.decision_transformer import (
     init_dt_params, transform_actions)
 from dt4image_restoration_tpu.utils.checkpoint import convert_dt_state_dict
 
+# The torch DT oracle now lives in the package (utils/torch_oracle.py) so
+# tools/validate_parity.py can reuse it against real checkpoints; re-exported
+# here because the other parity tests import it from this module.
+from dt4image_restoration_tpu.utils.torch_oracle import (  # noqa: F401
+    make_dt_state_dict, torch_dt_forward)
+
 E, HEADS, BLOCKS, ADIM, MAXT = 128, 4, 5, 3, 30
-
-
-def make_dt_state_dict(gen, n_embeds=9):
-    sd = {}
-
-    def lin(name, n_in, n_out):
-        sd[name + ".weight"] = 0.05 * torch.randn(n_out, n_in, generator=gen)
-        sd[name + ".bias"] = 0.05 * torch.randn(n_out, generator=gen)
-
-    sd["time_embed.weight"] = 0.05 * torch.randn(MAXT, E, generator=gen)
-    sd["task_embed.weight"] = 0.05 * torch.randn(n_embeds, E, generator=gen)
-    lin("embed_action.0", ADIM, E)
-    lin("embed_return.0", 1, E)
-    sd["state_encoder.0.weight"] = 0.05 * torch.randn(8, 1, 8, 8, generator=gen)
-    sd["state_encoder.0.bias"] = 0.05 * torch.randn(8, generator=gen)
-    sd["state_encoder.2.weight"] = 0.05 * torch.randn(16, 8, 4, 4, generator=gen)
-    sd["state_encoder.2.bias"] = 0.05 * torch.randn(16, generator=gen)
-    sd["state_encoder.4.weight"] = 0.05 * torch.randn(16, 16, 3, 3, generator=gen)
-    sd["state_encoder.4.bias"] = 0.05 * torch.randn(16, generator=gen)
-    lin("state_encoder.7", 2304, E)
-    for i in range(BLOCKS):
-        for ln in ("ln1", "ln2"):
-            sd[f"transformer.{i}.{ln}.weight"] = 1 + 0.05 * torch.randn(
-                E, generator=gen)
-            sd[f"transformer.{i}.{ln}.bias"] = 0.05 * torch.randn(
-                E, generator=gen)
-        lin(f"transformer.{i}.c_att.qkv_proj", E, 3 * E)
-        lin(f"transformer.{i}.c_att.o_proj", E, E)
-        lin(f"transformer.{i}.mlp.fc", E, 4 * E)
-        lin(f"transformer.{i}.mlp.fc_proj", 4 * E, E)
-    sd["layer_n.weight"] = 1 + 0.05 * torch.randn(E, generator=gen)
-    sd["layer_n.bias"] = 0.05 * torch.randn(E, generator=gen)
-    lin("predict_action.0", E, ADIM)
-    lin("predict_rtg", E, 1)
-    return sd
-
-
-def torch_dt_forward(sd, rtg, states, timesteps, task, actions, mode):
-    """decision_transformer.py:212-275 data flow via torch.nn.functional."""
-    B, T, _ = states.shape
-
-    def linear(x, name):
-        return x @ sd[name + ".weight"].T + sd[name + ".bias"]
-
-    rtg_emb = torch.tanh(linear(rtg, "embed_return.0"))
-    x = states.reshape(-1, 1, 128, 128)
-    x = F.relu(F.conv2d(x, sd["state_encoder.0.weight"],
-                        sd["state_encoder.0.bias"], stride=4))
-    x = F.relu(F.conv2d(x, sd["state_encoder.2.weight"],
-                        sd["state_encoder.2.bias"], stride=2))
-    x = F.relu(F.conv2d(x, sd["state_encoder.4.weight"],
-                        sd["state_encoder.4.bias"], stride=1))
-    state_emb = torch.tanh(linear(x.flatten(1), "state_encoder.7"))
-    state_emb = state_emb.reshape(B, T, E)
-
-    ts = timesteps.to(torch.int64).reshape(B, -1)
-    time_emb = sd["time_embed.weight"][ts]
-    state_emb = state_emb + sd["task_embed.weight"][task]
-
-    if actions is not None:
-        act_emb = torch.tanh(linear(actions, "embed_action.0"))
-        tok = torch.zeros(B, 3 * T, E)
-        tok[:, ::3] = rtg_emb
-        tok[:, 1::3] = state_emb
-        tok[:, 2::3] = act_emb
-        time_int = torch.repeat_interleave(time_emb, 3, dim=1)
-    else:
-        tok = torch.zeros(B, 2 * T, E)
-        tok[:, ::2] = rtg_emb
-        tok[:, 1::2] = state_emb
-        time_int = torch.repeat_interleave(time_emb, 2, dim=1)
-
-    x = tok + time_int
-    S = x.shape[1]
-    mask = torch.tril(torch.ones(S, S)).view(1, 1, S, S)
-    for i in range(BLOCKS):
-        p = f"transformer.{i}."
-        h = F.layer_norm(x, (E,), sd[p + "ln1.weight"], sd[p + "ln1.bias"])
-        q, k, v = linear(h, p + "c_att.qkv_proj").split(E, dim=2)
-        q = q.view(B, S, HEADS, E // HEADS).transpose(1, 2)
-        k = k.view(B, S, HEADS, E // HEADS).transpose(1, 2)
-        v = v.view(B, S, HEADS, E // HEADS).transpose(1, 2)
-        att = (q @ k.transpose(-1, -2)) / math.sqrt(E // HEADS)
-        att = att.masked_fill(mask == 0, float("-inf"))
-        att = F.softmax(att, dim=-1)
-        y = (att @ v).transpose(1, 2).contiguous().view(B, S, E)
-        x = x + linear(y, p + "c_att.o_proj")
-        # NOTE: no residual around the MLP (reference quirk, :99-102).
-        h = F.layer_norm(x, (E,), sd[p + "ln2.weight"], sd[p + "ln2.bias"])
-        x = linear(F.gelu(linear(h, p + "mlp.fc")), p + "mlp.fc_proj")
-
-    x = F.layer_norm(x, (E,), sd["layer_n.weight"], sd["layer_n.bias"])
-    stride = 3 if actions is not None else 2
-    pred_actions = torch.sigmoid(linear(x[:, 1::stride], "predict_action.0"))
-    pred_rtg = linear(x[:, 2::3], "predict_rtg") if actions is not None else None
-
-    # _transform_actions (:266-275): scale sigma_d column by 70/255.
-    sigma_col = 1 if mode == "flex" else 1  # sigma_d is column 1 in both modes
-    pred_actions = pred_actions.clone()
-    pred_actions[..., sigma_col] *= 70.0 / 255.0
-    return pred_actions, pred_rtg
 
 
 @pytest.fixture(scope="module")
