@@ -344,12 +344,23 @@ class Evaluator:
         while len(Evaluator._GLOBAL_PROGRAMS) > Evaluator._MAX_PROGRAMS:
             Evaluator._GLOBAL_PROGRAMS.popitem(last=False)
 
-    def evaluate_records(self, records: Sequence[Tuple[Any, Any]]):
+    def evaluate_records(self, records: Sequence[Tuple[Any, Any]],
+                         return_global: bool = False):
         """Evaluate a list of ``((states, rtg, actions, task), mat)`` items
         (one batched device program). With a ``mesh``, the image batch is
         padded to the data-axis size and sharded across devices (the
         replacement for the reference's one-image-at-a-time loop,
-        eval.py:112-143). Returns a metrics dict."""
+        eval.py:112-143). Returns a metrics dict.
+
+        On a multi-process runtime ``records`` is this process's LOCAL
+        slice of the global batch (process-order concatenation).
+        ``return_global=True`` returns the metrics for the whole gathered
+        global batch — every process's rows, including its padding — in
+        process order (the CLI uses this to reconstruct per-directory
+        aggregates after sharding the record list across hosts).
+        Single-process, ``return_global`` is a no-op (the local batch IS
+        the global batch, minus this call's own padding).
+        """
         n = len(records)
         if n == 0:
             raise ValueError("evaluate_records needs at least one record "
@@ -391,10 +402,14 @@ class Evaluator:
             (reward, old_reward, ep_len), mesh=self.mesh)
         # Multi-host gathers return the GLOBAL batch; this process's slice
         # starts at its offset in process order (equal counts asserted).
-        off = local_output_offset(len(records), mesh=self.mesh)
-        reward = reward[off:off + n, 0]
-        old = old[off:off + n, 0]
-        ep_len = ep_len[off:off + n]
+        if return_global and self.mesh is not None \
+                and jax.process_count() > 1:
+            reward, old, ep_len = reward[:, 0], old[:, 0], ep_len
+        else:
+            off = local_output_offset(len(records), mesh=self.mesh)
+            reward = reward[off:off + n, 0]
+            old = old[off:off + n, 0]
+            ep_len = ep_len[off:off + n]
         return {
             "reward": reward,
             "increment": reward - old,
@@ -408,7 +423,14 @@ class Evaluator:
         (all dirs' images concatenated — 9 dispatches become 1 at the
         measured B~64-128 throughput knee), then print the reference's
         per-directory aggregates in order (eval.py:137-143). Returns the
-        total PSNR increment."""
+        total PSNR increment.
+
+        Multi-process (a pod): the global record list is sharded across
+        processes — each host evaluates only its contiguous slice (the
+        inference analogue of cmd_train's shard_index/num_shards) — and
+        the gathered global metrics are reassembled so every process
+        prints the same single-process-identical aggregates.
+        """
         groups = []
         for path in eval_paths:
             ds = EvaluationDataset(
@@ -419,8 +441,28 @@ class Evaluator:
                 groups.append((path, [ds[i] for i in range(n)]))
         if not groups:
             return 0.0
-        m = self.evaluate_records(
-            [r for _, recs in groups for r in recs])
+        records = [r for _, recs in groups for r in recs]
+
+        n_proc = jax.process_count()
+        if self.mesh is not None and n_proc > 1:
+            # Disjoint per-process work: pad the global list (wrapping) to
+            # n_proc equal process slices, each a multiple of this
+            # process's data-axis share, evaluate the local slice, and
+            # reassemble the global metric rows (padded order == original
+            # order followed by the wrap rows, which are dropped).
+            n_global = len(records)
+            unit = max(1, self.mesh.shape["data"] // n_proc)
+            per_proc = -(-n_global // n_proc)
+            per_proc += (-per_proc) % unit
+            padded = [records[i % n_global] for i in range(n_proc * per_proc)]
+            pid = jax.process_index()
+            m = self.evaluate_records(
+                padded[pid * per_proc:(pid + 1) * per_proc],
+                return_global=True)
+            for k in ("reward", "increment", "episode_len"):
+                m[k] = m[k][:n_global]
+        else:
+            m = self.evaluate_records(records)
 
         total_increment, off = 0.0, 0
         for path, recs in groups:

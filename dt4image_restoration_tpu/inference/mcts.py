@@ -408,6 +408,16 @@ class MCTS:
             [record],
             seeds=[self.cfg.seed if seed is None else seed])[0]
 
+    def local_padded_count(self, n: int) -> int:
+        """Batch size after padding ``n`` local records to this process's
+        share of the mesh data axis — the layout contract between
+        ``_prepare_batch`` and callers that reconstruct global row order
+        from gathered outputs (the CLI's multi-host sharding)."""
+        if self.mesh is None:
+            return n
+        unit = max(1, self.mesh.shape["data"] // jax.process_count())
+        return n + (-n) % unit
+
     def _prepare_batch(self, records, seeds):
         """Default per-tree seeds + mesh padding (padded trees are dropped
         from outputs). Shared by both tree backends."""
@@ -419,9 +429,8 @@ class MCTS:
             seeds = [self.cfg.seed + i for i in range(n_out)]
         if self.mesh is not None:
             # Multi-host: records are this process's LOCAL slice; pad to
-            # its share of the data axis.
-            unit = max(1, self.mesh.shape["data"] // jax.process_count())
-            pad = (-len(records)) % unit
+            # its share of the data axis (local_padded_count).
+            pad = self.local_padded_count(n_out) - n_out
             records = list(records) + [records[-1]] * pad
             seeds = list(seeds) + [seeds[-1]] * pad
         return records, seeds, n_out

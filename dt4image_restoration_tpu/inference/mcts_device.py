@@ -99,6 +99,14 @@ class DeviceMCTS(MCTS):
     batched no-reference scorer; ``value_fn`` (host callable) is unused at
     search time but kept for interface compatibility."""
     value_fn_jax: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None
+    # Storage dtype for the per-node env states (x, z, u) — the dominant
+    # HBM cost of the search (3 x n_nodes full-resolution ri pairs,
+    # ~59 MB/tree at 30 iterations in f32; benchmarks/RESULTS.md).
+    # 'bfloat16' halves it, lifting the search-batch HBM ceiling; compute
+    # stays f32 (states are upcast after the gather), so only the stored
+    # snapshots are rounded. Policy buffers and PUCB statistics are
+    # unaffected.
+    node_dtype: str = "float32"
 
     def __post_init__(self):
         super().__post_init__()
@@ -110,6 +118,7 @@ class DeviceMCTS(MCTS):
         cfg = self.cfg
         I, K = cfg.iterations, cfg.n_children
         n_nodes = 1 + I * K
+        store_dtype = jnp.dtype(self.node_dtype)
 
         def search_all(params, root_bufs: EvalBuffers, root_env: CSMRIState,
                        rtg0, z_all):
@@ -119,8 +128,9 @@ class DeviceMCTS(MCTS):
 
             def node_alloc(root_leaf):
                 return jnp.zeros((n, n_nodes) + root_leaf.shape[1:],
-                                 root_leaf.dtype
-                                 ).at[:, 0].set(root_leaf)
+                                 store_dtype
+                                 ).at[:, 0].set(
+                    root_leaf.astype(store_dtype))
 
             node_x = node_alloc(root_env.x)
             node_z = node_alloc(root_env.z)
@@ -219,8 +229,10 @@ class DeviceMCTS(MCTS):
                 bailed_acc = bailed_acc | bailed
                 t_vec = time[tr, leaf]
                 env = CSMRIState(
-                    x=node_x[tr, leaf], z=node_z[tr, leaf],
-                    u=node_u[tr, leaf], mask=root_env.mask,
+                    x=node_x[tr, leaf].astype(jnp.float32),
+                    z=node_z[tr, leaf].astype(jnp.float32),
+                    u=node_u[tr, leaf].astype(jnp.float32),
+                    mask=root_env.mask,
                     y0=root_env.y0, gt=root_env.gt, T=node_T[tr, leaf],
                     done=jnp.zeros((n,), bool))
                 bid = buf_id[tr, leaf]
@@ -238,9 +250,9 @@ class DeviceMCTS(MCTS):
                                               )[:, 1:]
                 upd = lambda arr, v: jax.lax.dynamic_update_slice_in_dim(
                     arr, v, base, axis=1)
-                node_x = upd(node_x, ch_view(stepped.x))
-                node_z = upd(node_z, ch_view(stepped.z))
-                node_u = upd(node_u, ch_view(stepped.u))
+                node_x = upd(node_x, ch_view(stepped.x).astype(store_dtype))
+                node_z = upd(node_z, ch_view(stepped.z).astype(store_dtype))
+                node_u = upd(node_u, ch_view(stepped.u).astype(store_dtype))
                 node_T = upd(node_T, ch_view(stepped.T))
                 bk = lambda v: jnp.broadcast_to(v[:, None], (n, K))
                 parent = upd(parent, bk(leaf))
@@ -287,7 +299,8 @@ class DeviceMCTS(MCTS):
         self._search_all = jax.jit(search_all)
 
     def run_batch(self, records, seeds=None, detailed: bool = False,
-                  verbose: bool = True) -> list:
+                  verbose: bool = True,
+                  return_global: bool = False) -> list:
         """Search N trees in lockstep with ONE device dispatch total.
 
         ``detailed=True`` returns per-image dicts
@@ -295,6 +308,12 @@ class DeviceMCTS(MCTS):
         (the serving layer's unit of work) instead of bare rewards.
         ``verbose=False`` suppresses the CLI-parity per-tree reward prints
         (serving hot path).
+        ``return_global=True`` (multi-process with a mesh) returns the
+        rewards of the WHOLE gathered global batch in process order,
+        including every process's padding rows (``local_padded_count``
+        per process) — the CLI uses this to reconstruct the global print
+        order after sharding records across hosts. Single-process it is a
+        no-op.
         """
         self.traces = None
         records, seeds, n_out = self._prepare_batch(records, seeds)
@@ -347,6 +366,7 @@ class DeviceMCTS(MCTS):
         # Multi-host gathers return the GLOBAL batch; slice this process's
         # share (records is the padded local list; equal counts asserted).
         off = local_output_offset(len(records), mesh=self.mesh)
+        global_reward = final_reward
         final_reward = final_reward[off:off + n_out]
         if bool(np.any(bailed[off:off + n_out])):
             # The selection safety valve tripped: host/device parity is
@@ -380,6 +400,10 @@ class DeviceMCTS(MCTS):
                         "probs": [float(p) for p in probs[i, j]],
                         "reward": float(r[i, j])})
                 self.traces.append(tr)
+
+        if return_global and self.mesh is not None \
+                and jax.process_count() > 1:
+            return [float(v) for v in global_reward]
 
         out = []
         for v in final_reward:

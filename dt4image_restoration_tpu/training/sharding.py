@@ -84,6 +84,18 @@ def maybe_initialize_distributed() -> None:
     except RuntimeError as e:  # pragma: no cover - double-init guard
         if "already" not in str(e):
             raise
+    if jax.process_count() > 1:
+        # Eagerly establish the cross-process collective context NOW,
+        # while every process is aligned at the initialize() rendezvous —
+        # the analogue of NCCL communicator warmup. The backend's lazy
+        # context setup has a short key-exchange deadline (~30 s on the
+        # CPU Gloo path); deferring it to the first real dispatch makes it
+        # race against minutes of per-host skew from model init /
+        # compilation, which deadlocked the CLI on a timeshared host
+        # (observed: rank 0 timed out in Gloo init while rank 1 was still
+        # tracing the model).
+        from jax.experimental import multihost_utils
+        multihost_utils.process_allgather(np.zeros((1,), np.float32))
 
 
 def background_batches(iterator, size: int = 2):
@@ -190,13 +202,38 @@ def shard_params(params, mesh: Mesh, tensor_parallel: bool = False):
         params, specs)
 
 
+_SYNC_COUNTER = [0]
+
+
+def sync_processes(tag: str = "eval") -> None:
+    """Align all processes at a coordination-service barrier (gRPC — the
+    waiting side SLEEPS). Called before multi-process inference dispatches
+    so that no process starts busy-polling a device collective while
+    another is still deep in per-host work (model init, tracing): on a
+    timeshared host the poller otherwise starves the straggler into a
+    live-lock (observed on the CLI eval path). Cost on a real pod: one
+    sub-millisecond RPC per batched dispatch. No-op single-process."""
+    if jax.process_count() <= 1:
+        return
+    from jax._src.distributed import global_state
+    if global_state.client is None:  # runtime without a coordination svc
+        return
+    _SYNC_COUNTER[0] += 1
+    global_state.client.wait_at_barrier(
+        f"dt4ir_{tag}_{_SYNC_COUNTER[0]}", timeout_in_ms=600_000)
+
+
 def shard_eval_inputs(tree, mesh: Mesh, spec: P = P("data")):
     """Shard a pytree of batched inference inputs over the mesh's data
     axis, multi-host aware: on a pod each process passes only ITS slice of
     the global batch (``make_array_from_process_local_data``, like
     :func:`shard_batch`); single-process falls back to a plain
     ``device_put``. ``spec`` names the batch axis position (default:
-    leading). Used by the Evaluator and the tree-search backends."""
+    leading). Used by the Evaluator and the tree-search backends.
+
+    Entry to every multi-process inference dispatch — aligns processes
+    first (:func:`sync_processes`)."""
+    sync_processes("shard_eval")
     def put(x):
         sharding = NamedSharding(mesh, spec)
         if jax.process_count() > 1:

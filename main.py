@@ -26,6 +26,12 @@ import sys
 logging.basicConfig(filename="outputs.log", level=logging.DEBUG,
                     format="%(asctime)s - %(name)s - %(levelname)s - "
                            "%(message)s")
+# The reference's DEBUG root level (main.py:16-18) predates jax: at DEBUG,
+# jax's internal loggers (compiler, dispatch, cache-key) emit ~MB per run
+# into outputs.log/stderr — enough to fill a 64 KB subprocess pipe and
+# deadlock multi-process rendezvous. Our own loggers stay at DEBUG.
+for _noisy in ("jax", "absl", "orbax"):
+    logging.getLogger(_noisy).setLevel(logging.WARNING)
 logger = logging.getLogger("dt4ir_tpu")
 
 EVAL_DIRS_9 = [f"evaluation/image_dir/vanilla/{t}/" for t in
@@ -90,7 +96,7 @@ def cmd_train(args) -> None:
         init_dt_params, make_dt_apply)
     from dt4image_restoration_tpu.training import (
         TrainState, Trainer, make_mesh, make_optimizer, make_train_step,
-        shard_batch)
+        make_watch_grad_fn, shard_batch)
 
     tasks, (min_rtg, max_rtg) = tasks_for_experiment(args.training_type)
     cfg = ModelConfig(block_size=args.block_size, n_embeds=len(tasks),
@@ -248,7 +254,7 @@ def cmd_mcts(args) -> None:
         mcts = BatchedMCTS(mesh=_eval_mesh(), **common)
     else:  # 'device': the whole search is one XLA program per directory
         mcts = DeviceMCTS(mesh=_eval_mesh(), value_fn_jax=value_fn_jax,
-                          **common)
+                          node_dtype=args.node_dtype, **common)
     dirs = _existing_dirs(args.data_dirs or EVAL_DIRS_9)
     total = 0.0
     if args.sequential:
@@ -267,10 +273,43 @@ def cmd_mcts(args) -> None:
                                    kind="optimal")
             records += [(ds[i], args.seed + i) for i in range(len(ds))]
         b = args.search_batch
-        for off in range(0, len(records), b):
-            chunk = records[off:off + b]
-            total += sum(mcts.run_batch([r for r, _ in chunk],
-                                        seeds=[s for _, s in chunk]))
+        import jax
+        n_proc = jax.process_count()
+        if mcts.mesh is not None and n_proc > 1:
+            # Pod: shard the (record, seed) list across processes — each
+            # host searches only its contiguous slice (disjoint work; the
+            # inference analogue of cmd_train's shard_index/num_shards).
+            # Equal per-process counts keep the chunk loop in lockstep
+            # (run_batch collects collectively); global rewards are
+            # reassembled so every process prints the single-process-
+            # identical per-tree lines.
+            import numpy as np
+            n_global = len(records)
+            per_proc = -(-n_global // n_proc)
+            per_proc = mcts.local_padded_count(per_proc)
+            padded = [records[i % n_global]
+                      for i in range(n_proc * per_proc)]
+            pid = jax.process_index()
+            local = padded[pid * per_proc:(pid + 1) * per_proc]
+            rewards_g = np.full(n_proc * per_proc, np.nan)
+            for off in range(0, per_proc, b):
+                chunk = local[off:off + b]
+                vals = mcts.run_batch(
+                    [r for r, _ in chunk], seeds=[s for _, s in chunk],
+                    verbose=False, return_global=True)
+                cp = mcts.local_padded_count(len(chunk))
+                for p in range(n_proc):
+                    rows = vals[p * cp:p * cp + len(chunk)]
+                    rewards_g[p * per_proc + off:
+                              p * per_proc + off + len(chunk)] = rows
+            for i in range(n_global):
+                print("MCTS Reward: ", float(rewards_g[i]))
+                total += float(rewards_g[i])
+        else:
+            for off in range(0, len(records), b):
+                chunk = records[off:off + b]
+                total += sum(mcts.run_batch([r for r, _ in chunk],
+                                            seeds=[s for _, s in chunk]))
     print("Total MCTS reward:", total)
 
 
@@ -332,6 +371,12 @@ def build_parser() -> argparse.ArgumentParser:
                                 "runs as one XLA program (fixed-size node "
                                 "arrays, lax.scan); 'host': tree logic on "
                                 "host, one fused dispatch per iteration")
+            s.add_argument("--node_dtype", default="float32",
+                           choices=["float32", "bfloat16"],
+                           help="device-backend storage dtype for per-node "
+                                "env snapshots (x/z/u); bfloat16 halves "
+                                "the search's dominant HBM cost, raising "
+                                "the --search_batch ceiling (RESULTS.md)")
     return p
 
 

@@ -19,6 +19,43 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+
+def _spawn_ranks(worker, out_path, n_proc=2):
+    """Launch ``n_proc`` coordinated JAX processes running ``worker``.
+
+    Worker output streams to files, never pipes: at DEBUG log levels jax
+    internals can emit ~MB per process, and a worker blocking on a full
+    64 KB pipe mid-collective deadlocks the whole rendezvous (the parent
+    would drain pipes only sequentially)."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    procs, logs = [], []
+    for rank in range(n_proc):
+        env = dict(
+            os.environ,
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+            JAX_NUM_PROCESSES=str(n_proc),
+            JAX_PROCESS_ID=str(rank),
+            REPO_ROOT=REPO,
+            OUT_PATH=out_path,
+        )
+        log = open(out_path + f".spawn{rank}.log", "w+")
+        logs.append(log)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", worker], env=env,
+            stdout=log, stderr=subprocess.STDOUT, text=True))
+    for rank, (p, log) in enumerate(zip(procs, logs)):
+        p.wait(timeout=600)
+        log.seek(0)
+        out = log.read()
+        log.close()
+        assert p.returncode == 0, f"rank {rank} failed:\n{out[-3000:]}"
+        assert os.path.exists(out_path + f".ok{rank}"), \
+            f"rank {rank} missing success sentinel:\n{out[-3000:]}"
+
+
 WORKER = r"""
 import os, sys
 import numpy as np
@@ -81,30 +118,8 @@ print("WORKER_OK", rank, loss)
 
 
 def test_two_process_training_matches_single_process(tmp_path):
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
-
     out_path = str(tmp_path / "rank0.npz")
-    procs = []
-    for rank in range(2):
-        env = dict(
-            os.environ,
-            XLA_FLAGS="--xla_force_host_platform_device_count=2",
-            JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
-            JAX_NUM_PROCESSES="2",
-            JAX_PROCESS_ID=str(rank),
-            REPO_ROOT=REPO,
-            OUT_PATH=out_path,
-        )
-        procs.append(subprocess.Popen(
-            [sys.executable, "-c", WORKER], env=env,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
-    outs = [p.communicate(timeout=600)[0] for p in procs]
-    for rank, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"rank {rank} failed:\n{out[-3000:]}"
-        assert os.path.exists(out_path + f".ok{rank}"), \
-            f"rank {rank} missing success sentinel:\n{out[-3000:]}"
+    _spawn_ranks(WORKER, out_path)
 
     dist = np.load(out_path)
 
@@ -208,30 +223,8 @@ def test_two_process_eval_matches_single_process(tmp_path):
     """Multi-host inference: 2 processes each feed their local slice of a
     4-image batch through the sharded Evaluator; rank 0's slice must equal
     the same records evaluated single-process."""
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
-
     out_path = str(tmp_path / "rank0_eval.npz")
-    procs = []
-    for rank in range(2):
-        env = dict(
-            os.environ,
-            XLA_FLAGS="--xla_force_host_platform_device_count=2",
-            JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
-            JAX_NUM_PROCESSES="2",
-            JAX_PROCESS_ID=str(rank),
-            REPO_ROOT=REPO,
-            OUT_PATH=out_path,
-        )
-        procs.append(subprocess.Popen(
-            [sys.executable, "-c", EVAL_WORKER], env=env,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
-    outs = [p.communicate(timeout=600)[0] for p in procs]
-    for rank, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"rank {rank} failed:\n{out[-3000:]}"
-        assert os.path.exists(out_path + f".ok{rank}"), \
-            f"rank {rank} missing success sentinel:\n{out[-3000:]}"
+    _spawn_ranks(EVAL_WORKER, out_path)
 
     dist = np.load(out_path)
 
@@ -327,30 +320,8 @@ def test_two_process_device_mcts_matches_single_process(tmp_path):
     """Multi-host device tree search: 2 processes each feed their local
     trees; rank 0's rewards must equal the same records searched
     single-process with the same seeds."""
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
-
     out_path = str(tmp_path / "rank0_mcts.npz")
-    procs = []
-    for rank in range(2):
-        env = dict(
-            os.environ,
-            XLA_FLAGS="--xla_force_host_platform_device_count=2",
-            JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
-            JAX_NUM_PROCESSES="2",
-            JAX_PROCESS_ID=str(rank),
-            REPO_ROOT=REPO,
-            OUT_PATH=out_path,
-        )
-        procs.append(subprocess.Popen(
-            [sys.executable, "-c", MCTS_WORKER], env=env,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
-    outs = [p.communicate(timeout=600)[0] for p in procs]
-    for rank, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"rank {rank} failed:\n{out[-3000:]}"
-        assert os.path.exists(out_path + f".ok{rank}"), \
-            f"rank {rank} missing success sentinel:\n{out[-3000:]}"
+    _spawn_ranks(MCTS_WORKER, out_path)
 
     dist = np.load(out_path)
 
