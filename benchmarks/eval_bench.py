@@ -188,9 +188,76 @@ def main() -> None:
                          value_fn=proxy_value_fn)
     dm_full.run_batch(recs7)  # compile
     t0 = time.perf_counter()
-    dm_full.run_batch(recs7, seeds=list(range(7)))
+    r_f32 = dm_full.run_batch(recs7, seeds=list(range(7)), verbose=False)
     results["mcts_device_full30_s_per_image"] = round(
         (time.perf_counter() - t0) / 7, 3)
+
+    # bf16 guided-path QUALITY — the reference's autocast surface applied
+    # to inference (main.py:37-40, env.py:52): identical full-30 weights,
+    # bfloat16 compute in the DT and the U-Net prior; report the PSNR
+    # delta vs the f32 runs above (throughput for bf16 is in bench.py).
+    import jax.numpy as jnp
+    cfg16 = ModelConfig(block_size=18, n_embeds=9, mode="norm",
+                        dtype="bfloat16")
+    den16 = UNetDenoiser(dtype=jnp.bfloat16)
+
+    def denoise16(img, sig):
+        return den16.apply({"params": den_params}, img, sig)
+
+    ev16 = Evaluator(dt_apply=make_dt_apply(cfg16), dt_params=full_params,
+                     denoise=denoise16, cfg=cfg16, max_timesteps=30)
+    m16 = ev16.evaluate_records(recs)
+    results["greedy_eval_full30_bf16_psnr_delta_db"] = round(
+        float(np.mean(m16["reward"]) - np.mean(m["reward"])), 4)
+
+    dm16 = DeviceMCTS(dt_apply=make_dt_apply(cfg16), dt_params=full_params,
+                      denoise=denoise16, model_cfg=cfg16,
+                      cfg=MCTSConfig(iterations=30),
+                      value_fn=proxy_value_fn)
+    r_16 = dm16.run_batch(recs7, seeds=list(range(7)), verbose=False)
+    results["mcts_device_full30_bf16_psnr_delta_db"] = round(
+        float(np.mean(r_16) - np.mean(r_f32)), 4)
+
+    # bf16 NODE STORAGE (node_dtype='bfloat16'): halves the search's
+    # dominant HBM cost (per-node x/z/u, ~59 MB/tree f32), lifting the
+    # batch ceiling past the f32 knee (B=64 in round 2). Compute stays
+    # f32; report quality delta at B=7 and the extended knee sweep, plus
+    # device peak memory per variant where the backend exposes it.
+    def peak_mb():
+        stats = getattr(jax.devices()[0], "memory_stats", lambda: None)()
+        return (round(stats["peak_bytes_in_use"] / 2**20)
+                if stats and "peak_bytes_in_use" in stats else None)
+
+    dmn_full = DeviceMCTS(dt_apply=dt_apply, dt_params=full_params,
+                          denoise=denoise, model_cfg=cfg,
+                          cfg=MCTSConfig(iterations=30),
+                          value_fn=proxy_value_fn, node_dtype="bfloat16")
+    r_n16 = dmn_full.run_batch(recs7, seeds=list(range(7)), verbose=False)
+    results["mcts_device_full30_nodebf16_psnr_delta_db"] = round(
+        float(np.mean(r_n16) - np.mean(r_f32)), 4)
+
+    # Knee sweep in the same regime as the b16/32 rows above (random
+    # weights, early-stop episodes): f32 nodes vs bf16 nodes at B=64/128.
+    dmn = DeviceMCTS(dt_apply=dt_apply, dt_params=dt_params,
+                     denoise=denoise, model_cfg=cfg,
+                     cfg=MCTSConfig(iterations=30),
+                     value_fn=proxy_value_fn, node_dtype="bfloat16")
+    for tag, searcher in (("f32", dm), ("nodebf16", dmn)):
+        for b in (64, 128):
+            recs_b = records(b)
+            try:
+                searcher.run_batch(recs_b, verbose=False)  # compile
+                t0 = time.perf_counter()
+                searcher.run_batch(recs_b, seeds=list(range(b)),
+                                   verbose=False)
+                results[f"mcts_device_{tag}_s_per_image_b{b}"] = round(
+                    (time.perf_counter() - t0) / b, 3)
+            except Exception as e:  # OOM at this batch: record and stop
+                results[f"mcts_device_{tag}_s_per_image_b{b}"] = (
+                    f"failed: {type(e).__name__}")
+                break
+        if (pm := peak_mb()) is not None:
+            results[f"device_peak_mb_after_{tag}_sweep"] = pm
 
     print(json.dumps(results))
 
