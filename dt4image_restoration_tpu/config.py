@@ -88,6 +88,9 @@ class TrainerConfig:
     checkpoint_dir: str = "checkpoints"
     log_wandb: bool = False       # reference hardcodes an API key; we gate on
                                   # WANDB_API_KEY env var instead (train.py:136)
+    watch_every: int = 1000       # wandb.watch(model) equivalent
+                                  # (train.py:138): param + grad histograms
+                                  # every N steps; 0 disables
 
 
 @dataclasses.dataclass(frozen=True)

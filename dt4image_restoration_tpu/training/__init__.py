@@ -3,6 +3,7 @@ from dt4image_restoration_tpu.training.trainer import (
     TrainState,
     make_optimizer,
     make_lr_schedule,
+    make_watch_grad_fn,
     masked_mse_loss,
 )
 from dt4image_restoration_tpu.training.sharding import (
@@ -14,5 +15,5 @@ from dt4image_restoration_tpu.training.sharding import (
 )
 
 __all__ = ["Trainer", "TrainState", "make_optimizer", "make_lr_schedule",
-           "masked_mse_loss", "make_mesh", "make_shard_map_train_step",
+           "masked_mse_loss", "make_watch_grad_fn", "make_mesh", "make_shard_map_train_step",
            "make_train_step", "shard_batch", "shard_params"]

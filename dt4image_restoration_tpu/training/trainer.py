@@ -110,6 +110,14 @@ def loss_fn(dt_apply: Callable, params, batch: Dict[str, jnp.ndarray],
     return masked_mse_loss(preds, targets, batch["traj_masks"])
 
 
+def make_watch_grad_fn(dt_apply: Callable) -> Callable:
+    """Gradients-only twin of the train step's backward, for the
+    ``wandb.watch(model)`` equivalent (reference train.py:138): called on
+    watch steps to log gradient histograms. Same loss, no update."""
+    return jax.jit(lambda params, batch, rng: jax.grad(
+        lambda p: loss_fn(dt_apply, p, batch, rng))(params))
+
+
 @dataclasses.dataclass
 class Trainer:
     """Epoch-loop driver (reference train.py:32-163): host-side epochs, one
@@ -124,6 +132,10 @@ class Trainer:
     shard: Callable[[Dict[str, np.ndarray]], Dict[str, jnp.ndarray]]
     checkpoint_dir: Optional[str] = None
     resume_from: Optional[str] = None  # path of a full-state checkpoint
+    watch_grad_fn: Optional[Callable] = None
+    # ^ (params, batch, rng) -> grads (make_watch_grad_fn): enables the
+    # wandb.watch(model) equivalent — param + grad histograms logged every
+    # config.watch_every steps (reference train.py:138).
 
     def __post_init__(self):
         self._wandb = None
@@ -182,12 +194,28 @@ class Trainer:
             t0 = time.time()
             for batch in background_batches(self.batches(epoch)):
                 rng, step_rng = jax.random.split(rng)
+                sharded = self.shard(batch)
+                watching = (
+                    self._wandb and self.watch_grad_fn
+                    and self.config.watch_every
+                    and int(self.state.step) % self.config.watch_every == 0)
+                if watching:
+                    # wandb.watch(model) equivalent (train.py:138): grads
+                    # of THIS batch at the pre-update params. Fetched to
+                    # host BEFORE the donated update invalidates the param
+                    # buffers (watch steps only — one extra backward +
+                    # sync per config.watch_every steps).
+                    watch_grads = jax.device_get(self.watch_grad_fn(
+                        self.state.params, sharded, step_rng))
+                    watch_params = jax.device_get(self.state.params)
                 with self.step_timer:
                     self.state, loss = self.train_step(
-                        self.state, self.shard(batch), step_rng)
+                        self.state, sharded, step_rng)
                 losses.append(loss)
                 if self._wandb:
                     self._wandb.log({"loss": float(loss)})
+                    if watching:
+                        self._log_watch(watch_params, watch_grads)
                 if self._stop_requested:
                     self._save_resume_state()
                     logger.warning(
@@ -211,6 +239,22 @@ class Trainer:
                     os.path.join(self.checkpoint_dir, "state_latest"),
                     jax.device_get(self.state))
         return self._finalize(losses)
+
+    def _log_watch(self, params, grads) -> None:
+        """Log per-leaf parameter and gradient histograms under the
+        wandb.watch naming convention (``parameters/...``,
+        ``gradients/...``) — the reference's ``wandb.watch(model)``
+        (train.py:138) surface."""
+        import jax.tree_util as jtu
+        payload = {}
+        for prefix, tree in (("parameters", params), ("gradients", grads)):
+            for path, leaf in jtu.tree_flatten_with_path(tree)[0]:
+                name = "/".join(
+                    str(getattr(k, "key", getattr(k, "idx", k)))
+                    for k in path)
+                payload[f"{prefix}/{name}"] = self._wandb.Histogram(
+                    np.asarray(leaf, np.float32).ravel())
+        self._wandb.log(payload)
 
     def _finalize(self, losses) -> TrainState:
         """Common exit path (normal completion AND preemption stop):
