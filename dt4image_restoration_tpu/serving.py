@@ -59,6 +59,12 @@ class RestorationService:
       batch_size: compiled batch shape; partial batches are padded.
       max_delay_s: how long the dispatcher waits to fill a batch before
         flushing a partial one.
+      mesh: optional jax.sharding.Mesh — the fixed batch is sharded over
+        its 'data' axis so one service instance scales across the chips
+        of this host (batch_size must divide evenly). Single-process
+        only: the queue-driven dispatcher issues device calls
+        asynchronously, which cannot be coordinated across processes
+        (run one service per host on a pod instead).
     """
 
     def __init__(self, denoise: Callable, cfg: Optional[ModelConfig] = None,
@@ -68,13 +74,26 @@ class RestorationService:
                  sigma_d: float = 15.0 / 255.0,
                  max_delay_s: float = 0.01,
                  search_cfg: Any = None,
-                 value_fn_jax: Optional[Callable] = None) -> None:
+                 value_fn_jax: Optional[Callable] = None,
+                 mesh: Any = None) -> None:
         if mode not in ("policy", "mcts", "fixed"):
             raise ValueError(
                 f"unknown serving mode {mode!r}; expected one of "
                 "'policy', 'mcts', 'fixed'")
         if mode in ("policy", "mcts") and (cfg is None or dt_apply is None):
             raise ValueError(f"{mode} mode needs cfg + dt_apply + dt_params")
+        if mesh is not None:
+            if jax.process_count() > 1:
+                raise ValueError(
+                    "RestorationService mesh sharding is single-process "
+                    "only (async queue dispatch cannot be coordinated "
+                    "across hosts); run one service per host")
+            n_data = mesh.shape["data"]
+            if batch_size % n_data:
+                raise ValueError(
+                    f"batch_size {batch_size} must be a multiple of the "
+                    f"mesh data axis ({n_data})")
+        self.mesh = mesh
         self.mode = mode
         self.batch_size = batch_size
         self.max_timesteps = max_timesteps
@@ -108,7 +127,8 @@ class RestorationService:
                 dt_apply=dt_apply, dt_params=dt_params, denoise=denoise,
                 model_cfg=cfg,
                 cfg=search_cfg or MCTSConfig(max_timesteps=max_timesteps),
-                value_fn=proxy_value_fn, value_fn_jax=value_fn_jax)
+                value_fn=proxy_value_fn, value_fn_jax=value_fn_jax,
+                mesh=mesh)
         else:
             def run_fixed(env_state):
                 final, _ = fixed_param_rollout(
@@ -222,6 +242,13 @@ class RestorationService:
                 for i, res in enumerate(results)]
 
         env_state = reset_from_mat(mats)
+        if self.mesh is not None:
+            # Shard the fixed batch over the mesh's data axis (single
+            # process: a plain device_put with a NamedSharding; the jitted
+            # program partitions from the input shardings).
+            from dt4image_restoration_tpu.training.sharding import (
+                shard_eval_inputs)
+            env_state = shard_eval_inputs(env_state, self.mesh)
         if self.mode == "policy":
             # Policy initial observation reads the UNCLIPPED x0, matching
             # the eval dataset path (reference datasets.py:160-164: the clip
@@ -231,6 +258,11 @@ class RestorationService:
                  [..., 0].reshape(-1) for r in padded]))
             rtg0 = jnp.asarray([r.rtg for r in padded], jnp.float32)
             task = jnp.asarray([r.task for r in padded], jnp.int32)
+            if self.mesh is not None:
+                from dt4image_restoration_tpu.training.sharding import (
+                    shard_eval_inputs)
+                policy_x0, rtg0, task = shard_eval_inputs(
+                    (policy_x0, rtg0, task), self.mesh)
             images, reward, ep_len = self._program(
                 self._dt_params, policy_x0, rtg0, task, env_state)
         else:
