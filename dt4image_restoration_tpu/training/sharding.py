@@ -146,10 +146,11 @@ def background_batches(iterator, size: int = 2):
         stop.set()
 
 
-def prefetch_to_device(iterator, mesh: Mesh, size: int = 2):
-    """Host->device double-buffered prefetch of batch dicts: the next
-    batch's H2D transfer overlaps the current step's compute (the TPU
-    analogue of DataLoader pin_memory + async H2D, main.py:55-69)."""
+def prefetch_shard(iterator, shard_fn, size: int = 2):
+    """Host->device double-buffered prefetch: ``shard_fn`` (an async
+    ``device_put``) is issued ``size`` batches ahead, so the next batch's
+    H2D transfer overlaps the current step's compute (the TPU analogue of
+    DataLoader pin_memory + async H2D, main.py:55-69)."""
     import collections
     queue = collections.deque()
 
@@ -158,12 +159,17 @@ def prefetch_to_device(iterator, mesh: Mesh, size: int = 2):
             batch = next(iterator, None)
             if batch is None:
                 return
-            queue.append(shard_batch(batch, mesh))
+            queue.append(shard_fn(batch))
 
     enqueue(size)
     while queue:
         yield queue.popleft()
         enqueue(1)
+
+
+def prefetch_to_device(iterator, mesh: Mesh, size: int = 2):
+    """``prefetch_shard`` specialised to ``shard_batch`` over ``mesh``."""
+    return prefetch_shard(iterator, lambda b: shard_batch(b, mesh), size)
 
 
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,

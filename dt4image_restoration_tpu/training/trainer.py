@@ -187,14 +187,19 @@ class Trainer:
                 signal.signal(sig, h)
 
     def _train_loop(self, background_batches, StepTimer) -> TrainState:
+        from dt4image_restoration_tpu.training.sharding import (
+            prefetch_shard)
         rng = jax.random.PRNGKey(self.config.seed)
         losses = []
         self.step_timer = StepTimer()
         for epoch in range(self.config.max_epochs):
             t0 = time.time()
-            for batch in background_batches(self.batches(epoch)):
+            # Two-stage pipeline: host assembly on a background thread,
+            # then the shard/device_put issued one batch ahead so the H2D
+            # transfer overlaps the previous step's compute.
+            for sharded in prefetch_shard(
+                    background_batches(self.batches(epoch)), self.shard):
                 rng, step_rng = jax.random.split(rng)
-                sharded = self.shard(batch)
                 watching = (
                     self._wandb and self.watch_grad_fn
                     and self.config.watch_every

@@ -32,3 +32,8 @@ python benchmarks/policy_learning_demo.py
 
 #pallas-vs-XLA kernel benchmark
 python benchmarks/pallas_bench.py
+
+#training input pipeline at dataset scale (410-trajectory json+h5 corpus
+#through background_batches + prefetch_shard; --cpu = tunnel-free control)
+python benchmarks/input_pipeline_bench.py
+python benchmarks/input_pipeline_bench.py --cpu
