@@ -118,9 +118,12 @@ def main() -> None:
     slices_per_sec = BATCH / t_batch
 
     # --- batch-scaling study: find the throughput knee --------------------
-    # The packed/direct winner flips with batch size (packed +20% at B=16
-    # where lanes starve; direct can win at B>=128 where batch parallelism
-    # already fills the MXU) — so A/B at every point.
+    # Three variants A/B'd at every point: the winner flips with batch
+    # size. Packed wins at B=16 (lane starvation); at B>=64 batch
+    # parallelism fills the MXU and direct wins — and there bf16 pulls
+    # ahead ~1.6x (conv_probe.py B=128: up4 2.36 vs 3.90 ms), the
+    # reference's own autocast surface (main.py:37-40) at 0.013 dB delta.
+    roll_bf16_knee = make_roll(denoise_bf16)
     scaling = {}
     for b in (64, 128, 256):
         reps = max(2, 512 // b)
@@ -131,13 +134,17 @@ def main() -> None:
                           warmup=1)
         t_p = _throughput(lambda: roll_packed(state_b), fetch, repeats=reps,
                           warmup=1)
-        scaling[f"batched_slices_per_sec_b{b}"] = round(b / min(t_d, t_p), 2)
+        t_16 = _throughput(lambda: roll_bf16_knee(state_b), fetch,
+                           repeats=reps, warmup=1)
+        scaling[f"batched_slices_per_sec_b{b}"] = round(
+            b / min(t_d, t_p, t_16), 2)
         scaling[f"direct_slices_per_sec_b{b}"] = round(b / t_d, 2)
         scaling[f"packed_slices_per_sec_b{b}"] = round(b / t_p, 2)
+        scaling[f"bf16_slices_per_sec_b{b}"] = round(b / t_16, 2)
         del state_b, big_b
 
     # --- bf16 variants (direct vs packed A/B, same adoption rule) ---------
-    roll_bf16_d = make_roll(denoise_bf16)
+    roll_bf16_d = roll_bf16_knee
     roll_bf16_p = make_roll(denoise_bf16_packed)
     t_bf16_d = _throughput(lambda: roll_bf16_d(state1), fetch, repeats=20)
     t_bf16_p = _throughput(lambda: roll_bf16_p(state1), fetch, repeats=20)
