@@ -44,6 +44,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from dt4image_restoration_tpu.utils.compile_cache import (
+        enable_persistent_cache)
+    enable_persistent_cache()  # repeat runs skip the 4+ large compiles
+
     from dt4image_restoration_tpu.data import make_mat_record
     from dt4image_restoration_tpu.env import (
         compute_reward, fixed_param_rollout, reset_from_mat)

@@ -20,6 +20,17 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+from dt4image_restoration_tpu.utils.compile_cache import (  # noqa: E402
+    enable_persistent_cache)
+
+# The suite's wall time on the 1-core CI host is dominated by XLA
+# recompiles of byte-identical programs (the CLI/multi-host tests spawn
+# fresh interpreters). The persistent cache (HLO-hash-keyed) makes
+# repeat runs load them from disk; subprocesses inherit it via
+# JAX_COMPILATION_CACHE_DIR. See utils/compile_cache.py for the benign
+# cpu_aot_loader feature-mismatch warnings this logs on reloads.
+enable_persistent_cache()
+
 import numpy as np
 import pytest
 
