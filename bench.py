@@ -48,6 +48,15 @@ def main() -> None:
         enable_persistent_cache)
     enable_persistent_cache()  # repeat runs skip the 4+ large compiles
 
+    import sys as _sys
+    _t_prev = [time.perf_counter()]
+
+    def _mark(label):
+        now = time.perf_counter()
+        print(f"[bench-section] {label}: {now - _t_prev[0]:.1f}s",
+              file=_sys.stderr)
+        _t_prev[0] = now
+
     from dt4image_restoration_tpu.data import make_mat_record
     from dt4image_restoration_tpu.env import (
         compute_reward, fixed_param_rollout, reset_from_mat)
@@ -109,6 +118,7 @@ def main() -> None:
     t_single = min(t_packed, t_direct)
     iters_per_sec = N_ITERS / t_single
     psnr_jax = fetch(roll_f32(state1))
+    _mark("single-slice A/B (compile+20 reps x2)")
 
     # --- batched rollout (slices/sec) ------------------------------------
     mats = [make_mat_record(seed=s) for s in range(BATCH)]
@@ -120,6 +130,7 @@ def main() -> None:
                                  repeats=10)
     t_batch = min(t_batch_direct, t_batch_packed)
     slices_per_sec = BATCH / t_batch
+    _mark("B=16 A/B")
 
     # --- batch-scaling study: find the throughput knee --------------------
     # Three variants A/B'd at every point: the winner flips with batch
@@ -146,6 +157,7 @@ def main() -> None:
         scaling[f"packed_slices_per_sec_b{b}"] = round(b / t_p, 2)
         scaling[f"bf16_slices_per_sec_b{b}"] = round(b / t_16, 2)
         del state_b, big_b
+        _mark(f"knee b={b} (3 variants)")
 
     # --- bf16 variants (direct vs packed A/B, same adoption rule) ---------
     roll_bf16_d = roll_bf16_knee
@@ -156,12 +168,14 @@ def main() -> None:
     roll_bf16 = roll_bf16_p if t_bf16_p < t_bf16_d else roll_bf16_d
     t_bf16_batch = _throughput(lambda: roll_bf16(stateB), fetch, repeats=10)
     psnr_bf16 = fetch(roll_bf16(state1))
+    _mark("bf16 single+B16")
 
     # --- torch CPU reference baseline (identical weights + data) ---------
     t0 = time.perf_counter()
     _, psnr_torch = torch_admm_rollout(sd, mat, MU, SIGMA_D, N_ITERS)
     t_torch = time.perf_counter() - t0
     baseline_iters_per_sec = N_ITERS / t_torch
+    _mark("torch CPU baseline")
 
     result = {
         "metric": "pnp_admm_iters_per_sec_per_chip",

@@ -152,3 +152,83 @@ def test_trainer_preemption_checkpoint(tmp_path, rng):
                        resume_from=str(tmp_path / "state_latest"))
     final2 = trainer2.train()
     assert int(final2.step) == int(final.step) + 1
+
+
+def test_trainer_watch_logs_param_and_grad_histograms(rng):
+    """The wandb.watch(model) equivalent (reference train.py:138): on
+    watch steps the trainer logs per-leaf parameter AND gradient
+    histograms, and the logged gradients are the real jax.grad of the
+    step's loss at the PRE-update params (fetched before the donated
+    update invalidates them)."""
+    from dt4image_restoration_tpu.training import (
+        TrainState, Trainer, make_optimizer, make_train_step)
+    from dt4image_restoration_tpu.training.trainer import (
+        loss_fn, make_watch_grad_fn)
+
+    cfg = ModelConfig(block_size=18, n_embeds=9, dropout=0.0,
+                      embd_dropout=0.0)
+    params = init_dt_params(cfg, seed=0)
+    tcfg = TrainerConfig(max_epochs=1, save_every=10**9, batch_size=2,
+                         watch_every=1)
+    optimizer = make_optimizer(tcfg, max_steps=10, params=params)
+    dt_apply = make_dt_apply(cfg, train=True)
+    step_fn = make_train_step(dt_apply, optimizer)
+
+    r, s, ts, task, a = _inputs(rng)
+    batch = {"rtg": np.asarray(r), "states": np.asarray(s),
+             "timesteps": np.asarray(ts), "task": np.asarray(task),
+             "actions": np.asarray(a),
+             "traj_masks": np.ones((2, 6, 1), np.float32)}
+
+    class FakeWandb:
+        def __init__(self):
+            self.payloads = []
+
+        class Histogram:
+            def __init__(self, values):
+                self.values = np.asarray(values)
+                assert np.all(np.isfinite(self.values))
+
+        def log(self, payload):
+            self.payloads.append(payload)
+
+        def finish(self):
+            pass
+
+    state = TrainState(params=params, opt_state=optimizer.init(params),
+                       step=jnp.zeros((), jnp.int32))
+    trainer = Trainer(train_step=step_fn, state=state, config=tcfg,
+                      batches=lambda _: iter([dict(batch)]),
+                      shard=lambda b: b, checkpoint_dir=None,
+                      watch_grad_fn=make_watch_grad_fn(dt_apply))
+    fake = FakeWandb()
+    trainer._wandb = fake
+    trainer.train()
+
+    watch = [p for p in fake.payloads
+             if any(k.startswith("parameters/") for k in p)]
+    assert len(watch) == 1  # watch_every=1, one step
+    names = set(watch[0])
+    assert any(n.startswith("gradients/") for n in names)
+    # Same leaf set under both prefixes.
+    p_leaves = {n.split("/", 1)[1] for n in names
+                if n.startswith("parameters/")}
+    g_leaves = {n.split("/", 1)[1] for n in names
+                if n.startswith("gradients/")}
+    assert p_leaves == g_leaves and len(p_leaves) > 10
+
+    # The logged gradient equals jax.grad at the pre-update params with
+    # the trainer's step rng (first split of PRNGKey(seed)).
+    step_rng = jax.random.split(jax.random.PRNGKey(tcfg.seed))[1]
+    want = jax.grad(lambda p: loss_fn(dt_apply, p, batch, step_rng))(params)
+    leaf = sorted(p_leaves)[0]
+
+    def lookup(tree, dotted):
+        for part in dotted.split("/"):
+            tree = tree[part]
+        return tree
+
+    got = watch[0][f"gradients/{leaf}"].values
+    np.testing.assert_allclose(
+        got, np.asarray(lookup(want, leaf), np.float32).ravel(),
+        rtol=1e-5, atol=1e-7)
