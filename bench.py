@@ -44,10 +44,6 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from dt4image_restoration_tpu.utils.compile_cache import (
-        enable_persistent_cache)
-    enable_persistent_cache()  # repeat runs skip the 4+ large compiles
-
     import sys as _sys
     _t_prev = [time.perf_counter()]
 
