@@ -54,42 +54,9 @@ def time_fn(fn, *args):
     return (wall(hi) - wall(lo)) / (hi - lo)
 
 
-def pack_w_shift(w):
-    """(3,3,Cin,Cout) SAME weights -> (2,2,4Cin,4Cout) VALID weights on the
-    pad-shifted s2d grid."""
-    _, _, cin, cout = w.shape
-    w2 = np.zeros((2, 2, 4 * cin, 4 * cout), np.float32)
-    wn = np.asarray(w, np.float32)
-    for oy in range(2):
-        for ox in range(2):
-            for ky in range(3):
-                for kx in range(3):
-                    cy, sy = divmod(oy + ky, 2)
-                    cx, sx = divmod(ox + kx, 2)
-                    w2[cy, cx,
-                       (sy * 2 + sx) * cin:(sy * 2 + sx + 1) * cin,
-                       (oy * 2 + ox) * cout:(oy * 2 + ox + 1) * cout] \
-                        = wn[ky, kx]
-    return w2
-
-
-def pack_w_dense(w):
-    """(3,3,Cin,Cout) SAME weights -> (3,3,4Cin,4Cout) SAME weights over
-    the plain (unshifted) s2d cell grid; 25% dense."""
-    _, _, cin, cout = w.shape
-    w2 = np.zeros((3, 3, 4 * cin, 4 * cout), np.float32)
-    wn = np.asarray(w, np.float32)
-    for oy in range(2):
-        for ox in range(2):
-            for ky in range(3):
-                for kx in range(3):
-                    cy, sy = divmod(oy + ky - 1, 2)
-                    cx, sx = divmod(ox + kx - 1, 2)
-                    w2[cy + 1, cx + 1,
-                       (sy * 2 + sx) * cin:(sy * 2 + sx + 1) * cin,
-                       (oy * 2 + ox) * cout:(oy * 2 + ox + 1) * cout] \
-                        = wn[ky, kx]
-    return w2
+# The packing/unpacking helpers under test are the SHIPPED ops — the
+# probe validates and times the exact code the model runs
+# (dt4image_restoration_tpu/ops/image.py), not a private copy.
 
 
 def main() -> None:
@@ -106,39 +73,17 @@ def main() -> None:
             x, w, window_strides=(1, 1), padding=padding,
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
-    def s2d_shift(x):
-        b, h, w_, c = x.shape
-        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-        x = x.reshape(b, (h + 2) // 2, 2, (w_ + 2) // 2, 2, c)
-        return x.transpose(0, 1, 3, 2, 4, 5).reshape(
-            b, (h + 2) // 2, (w_ + 2) // 2, 4 * c)
+    from dt4image_restoration_tpu.ops.image import (
+        depth_to_space as d2s, pack_conv_weights, repad_cells,
+        space_to_depth as s2d_plain, space_to_depth_shifted as s2d_shift)
 
-    def s2d_plain(x):
-        b, h, w_, c = x.shape
-        x = x.reshape(b, h // 2, 2, w_ // 2, 2, c)
-        return x.transpose(0, 1, 3, 2, 4, 5).reshape(
-            b, h // 2, w_ // 2, 4 * c)
+    def pack_w_shift(w):
+        return pack_conv_weights(jnp.asarray(w, jnp.float32), "shift")
 
-    def d2s(y):
-        b, hc, wc, c4 = y.shape
-        c = c4 // 4
-        y = y.reshape(b, hc, wc, 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
-        return y.reshape(b, hc * 2, wc * 2, c)
+    def pack_w_dense(w):
+        return pack_conv_weights(jnp.asarray(w, jnp.float32), "dense")
 
-    def repad_indomain(y):
-        """Unshifted cells -> pad-shifted cells via channel shuffle of 4
-        shifted views (sub-channel blocks are (sy, sx) major)."""
-        b, hc, wc, c4 = y.shape
-        c = c4 // 4
-        tl = jnp.pad(y[:, :, :, 3 * c:4 * c],         # A(i-1,j-1) sub(1,1)
-                     ((0, 0), (1, 0), (1, 0), (0, 0)))
-        tr = jnp.pad(y[:, :, :, 2 * c:3 * c],         # A(i-1,j)   sub(1,0)
-                     ((0, 0), (1, 0), (0, 1), (0, 0)))
-        bl = jnp.pad(y[:, :, :, 1 * c:2 * c],         # A(i,j-1)   sub(0,1)
-                     ((0, 0), (0, 1), (1, 0), (0, 0)))
-        br = jnp.pad(y[:, :, :, 0 * c:1 * c],         # A(i,j)     sub(0,0)
-                     ((0, 0), (0, 1), (0, 1), (0, 0)))
-        return jnp.concatenate([tl, tr, bl, br], axis=-1)
+    repad_indomain = repad_cells
 
     # --- correctness of all rewrites on a small case ----------------------
     x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)), jnp.float32)

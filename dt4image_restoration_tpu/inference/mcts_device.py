@@ -298,6 +298,47 @@ class DeviceMCTS(MCTS):
 
         self._search_all = jax.jit(search_all)
 
+    def run_global_batches(self, records, seeds, batch_size: int) -> list:
+        """Search a GLOBAL record list on a multi-process mesh and return
+        its rewards in the original order.
+
+        Shards the records across processes in equal contiguous slices
+        (wrap-padding the tail so every process stays in lockstep through
+        the collective chunk loop), searches each local slice in
+        ``batch_size`` chunks, and reassembles the gathered global rows —
+        the inverse of ``_prepare_batch``'s padding, kept HERE next to
+        that contract (``local_padded_count``) rather than in callers.
+        Single-process (or ``mesh=None``) falls back to plain chunking.
+        """
+        pairs = list(zip(records, seeds))
+        n_proc = jax.process_count()
+        if self.mesh is None or n_proc <= 1:
+            out = []
+            for off in range(0, len(pairs), batch_size):
+                chunk = pairs[off:off + batch_size]
+                out += self.run_batch([r for r, _ in chunk],
+                                      seeds=[s for _, s in chunk],
+                                      verbose=False)
+            return out
+
+        n_global = len(pairs)
+        per_proc = self.local_padded_count(-(-n_global // n_proc))
+        padded = [pairs[i % n_global] for i in range(n_proc * per_proc)]
+        pid = jax.process_index()
+        local = padded[pid * per_proc:(pid + 1) * per_proc]
+        rewards_g = np.full(n_proc * per_proc, np.nan)
+        for off in range(0, per_proc, batch_size):
+            chunk = local[off:off + batch_size]
+            vals = self.run_batch(
+                [r for r, _ in chunk], seeds=[s for _, s in chunk],
+                verbose=False, return_global=True)
+            cp = self.local_padded_count(len(chunk))
+            for p in range(n_proc):
+                rows = vals[p * cp:p * cp + len(chunk)]
+                rewards_g[p * per_proc + off:
+                          p * per_proc + off + len(chunk)] = rows
+        return [float(v) for v in rewards_g[:n_global]]
+
     def run_batch(self, records, seeds=None, detailed: bool = False,
                   verbose: bool = True,
                   return_global: bool = False) -> list:

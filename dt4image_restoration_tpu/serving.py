@@ -65,6 +65,9 @@ class RestorationService:
         only: the queue-driven dispatcher issues device calls
         asynchronously, which cannot be coordinated across processes
         (run one service per host on a pod instead).
+      node_dtype: storage dtype for the search's per-node env snapshots
+        ('float32' | 'bfloat16') — mcts mode only; bfloat16 halves the
+        search's HBM cost (compute stays f32, see RESULTS.md).
     """
 
     def __init__(self, denoise: Callable, cfg: Optional[ModelConfig] = None,
@@ -75,7 +78,8 @@ class RestorationService:
                  max_delay_s: float = 0.01,
                  search_cfg: Any = None,
                  value_fn_jax: Optional[Callable] = None,
-                 mesh: Any = None) -> None:
+                 mesh: Any = None,
+                 node_dtype: str = "float32") -> None:
         if mode not in ("policy", "mcts", "fixed"):
             raise ValueError(
                 f"unknown serving mode {mode!r}; expected one of "
@@ -128,7 +132,7 @@ class RestorationService:
                 model_cfg=cfg,
                 cfg=search_cfg or MCTSConfig(max_timesteps=max_timesteps),
                 value_fn=proxy_value_fn, value_fn_jax=value_fn_jax,
-                mesh=mesh)
+                mesh=mesh, node_dtype=node_dtype)
         else:
             def run_fixed(env_state):
                 final, _ = fixed_param_rollout(

@@ -105,7 +105,10 @@ def cmd_train(args) -> None:
     tcfg = TrainerConfig(batch_size=args.batch_size,
                          max_epochs=args.max_epochs,
                          save_every=args.save_every,
-                         checkpoint_dir=args.checkpoint_dir)
+                         checkpoint_dir=args.checkpoint_dir,
+                         # wandb like the reference (train.py:136-138) but
+                         # gated on the env var instead of a hardcoded key.
+                         log_wandb=bool(os.environ.get("WANDB_API_KEY")))
 
     dataset = TrainingDataset(
         block_size=cfg.context_length, data_dir=args.data_dir,
@@ -136,7 +139,10 @@ def cmd_train(args) -> None:
             shard_index=jax.process_index(), num_shards=n_proc),
         shard=lambda b: shard_batch(b, mesh),
         checkpoint_dir=tcfg.checkpoint_dir,
-        resume_from=args.resume)
+        resume_from=args.resume,
+        # wandb.watch(model) equivalent (reference train.py:138); only
+        # called on watch steps when wandb is active.
+        watch_grad_fn=make_watch_grad_fn(make_dt_apply(cfg, train=True)))
     with mesh:
         trainer.train()
     print("Training complete; last losses:", trainer.last_losses)
@@ -274,37 +280,21 @@ def cmd_mcts(args) -> None:
             records += [(ds[i], args.seed + i) for i in range(len(ds))]
         b = args.search_batch
         import jax
-        n_proc = jax.process_count()
-        if mcts.mesh is not None and n_proc > 1:
-            # Pod: shard the (record, seed) list across processes — each
-            # host searches only its contiguous slice (disjoint work; the
-            # inference analogue of cmd_train's shard_index/num_shards).
-            # Equal per-process counts keep the chunk loop in lockstep
-            # (run_batch collects collectively); global rewards are
-            # reassembled so every process prints the single-process-
-            # identical per-tree lines.
-            import numpy as np
-            n_global = len(records)
-            per_proc = -(-n_global // n_proc)
-            per_proc = mcts.local_padded_count(per_proc)
-            padded = [records[i % n_global]
-                      for i in range(n_proc * per_proc)]
-            pid = jax.process_index()
-            local = padded[pid * per_proc:(pid + 1) * per_proc]
-            rewards_g = np.full(n_proc * per_proc, np.nan)
-            for off in range(0, per_proc, b):
-                chunk = local[off:off + b]
-                vals = mcts.run_batch(
-                    [r for r, _ in chunk], seeds=[s for _, s in chunk],
-                    verbose=False, return_global=True)
-                cp = mcts.local_padded_count(len(chunk))
-                for p in range(n_proc):
-                    rows = vals[p * cp:p * cp + len(chunk)]
-                    rewards_g[p * per_proc + off:
-                              p * per_proc + off + len(chunk)] = rows
-            for i in range(n_global):
-                print("MCTS Reward: ", float(rewards_g[i]))
-                total += float(rewards_g[i])
+        if isinstance(mcts, DeviceMCTS) and mcts.mesh is not None \
+                and jax.process_count() > 1:
+            # Pod: the device backend shards the (record, seed) list
+            # across processes (disjoint work — the inference analogue of
+            # cmd_train's shard_index/num_shards) and reassembles the
+            # global rewards, so every process prints the
+            # single-process-identical per-tree lines. Host-tree backends
+            # fall through to the plain loop, whose run_batch raises the
+            # use-the-device-backend guidance error on pods.
+            rewards = mcts.run_global_batches(
+                [r for r, _ in records], [s for _, s in records],
+                batch_size=b)
+            for v in rewards:
+                print("MCTS Reward: ", float(v))
+            total = float(sum(rewards))
         else:
             for off in range(0, len(records), b):
                 chunk = records[off:off + b]

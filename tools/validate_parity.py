@@ -232,7 +232,9 @@ def _selftest(args) -> dict:
     from dt4image_restoration_tpu.utils.torch_reference import (
         random_unet_state_dict)
 
-    tmp = tempfile.mkdtemp(prefix="validate_parity_selftest_")
+    tmpdir = tempfile.TemporaryDirectory(
+        prefix="validate_parity_selftest_")
+    tmp = tmpdir.name
     gen = torch.Generator().manual_seed(0)
     dt_sd = make_dt_state_dict(gen, n_embeds=9)
     # Mid-length episodes so the window switch is exercised (probed in
@@ -255,7 +257,8 @@ def _selftest(args) -> dict:
     args.dt_flex = os.path.join(tmp, "model_experiment_1.pt")
     args.unet = os.path.join(tmp, "unet-nm.pt")
     args.dirs = [d]
-    return validate(args)
+    with tmpdir:  # fixtures removed on exit (CI runs this repeatedly)
+        return validate(args)
 
 
 def build_parser():
