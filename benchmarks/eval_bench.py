@@ -257,7 +257,12 @@ def main() -> None:
                     f"failed: {type(e).__name__}")
                 break
         if (pm := peak_mb()) is not None:
-            results[f"device_peak_mb_after_{tag}_sweep"] = pm
+            # peak_bytes_in_use is a PROCESS-LIFETIME high-water mark, so
+            # per-variant attribution is only valid for the first sweep;
+            # later variants report the cumulative max (named as such).
+            key = (f"device_peak_mb_after_{tag}_sweep" if tag == "f32"
+                   else "device_peak_mb_cumulative")
+            results[key] = pm
 
     print(json.dumps(results))
 

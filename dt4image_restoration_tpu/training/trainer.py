@@ -192,6 +192,22 @@ class Trainer:
         rng = jax.random.PRNGKey(self.config.seed)
         losses = []
         self.step_timer = StepTimer()
+        # Host-side step mirror: the watch predicate must (a) not fetch
+        # the device step scalar every iteration and (b) be IDENTICAL on
+        # every process — watch_grad_fn is a jitted program over the
+        # globally-sharded batch, so a rank whose predicate differs (e.g.
+        # gating on this rank's wandb activation) would skip a collective
+        # the others entered and deadlock the pod. The active bit is
+        # agreed once up front (wandb on ANY rank — the one-logger pod
+        # setup — enables the watch pass on ALL ranks); logging stays
+        # local to ranks with wandb.
+        watch_active = bool(self._wandb and self.watch_grad_fn)
+        if self.watch_grad_fn is not None and jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            import numpy as _np
+            watch_active = bool(_np.max(multihost_utils.process_allgather(
+                _np.asarray([1 if self._wandb else 0], _np.int32))))
+        host_step = int(self.state.step)
         for epoch in range(self.config.max_epochs):
             t0 = time.time()
             # Two-stage pipeline: host assembly on a background thread,
@@ -201,21 +217,23 @@ class Trainer:
                     background_batches(self.batches(epoch)), self.shard):
                 rng, step_rng = jax.random.split(rng)
                 watching = (
-                    self._wandb and self.watch_grad_fn
-                    and self.config.watch_every
-                    and int(self.state.step) % self.config.watch_every == 0)
+                    watch_active and self.config.watch_every
+                    and host_step % self.config.watch_every == 0)
                 if watching:
                     # wandb.watch(model) equivalent (train.py:138): grads
                     # of THIS batch at the pre-update params. Fetched to
                     # host BEFORE the donated update invalidates the param
                     # buffers (watch steps only — one extra backward +
-                    # sync per config.watch_every steps).
+                    # sync per config.watch_every steps; requires
+                    # fully-addressable params, i.e. the replicated
+                    # data-parallel layout cmd_train builds).
                     watch_grads = jax.device_get(self.watch_grad_fn(
                         self.state.params, sharded, step_rng))
                     watch_params = jax.device_get(self.state.params)
                 with self.step_timer:
                     self.state, loss = self.train_step(
                         self.state, sharded, step_rng)
+                host_step += 1
                 losses.append(loss)
                 if self._wandb:
                     self._wandb.log({"loss": float(loss)})

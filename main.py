@@ -174,18 +174,22 @@ def _make_evaluator(args, mode: str, ckpt: str, rtg_target, eval_type):
 
 
 def _existing_dirs(dirs):
-    """Filter to directories that exist; warn about the skipped ones and
-    fail loudly (like the reference, main.py:205) when NONE exist — a
-    silent 0-image evaluation or a deflated average would be worse than
-    the crash."""
-    existing = [d for d in dirs if os.path.isdir(d)]
+    """Filter to directories that exist AND contain .mat records; warn
+    about the skipped ones and fail loudly (like the reference,
+    main.py:205) when NONE qualify — a silent 0-image evaluation or a
+    deflated average (empty dirs contribute nothing to the total but
+    would widen the divisor) would be worse than the crash."""
+    import glob
+    existing = [d for d in dirs
+                if os.path.isdir(d) and glob.glob(os.path.join(d, "*.mat"))]
     for d in dirs:
         if d not in existing:
-            print(f"WARNING: skipping missing eval directory {d!r}",
+            print(f"WARNING: skipping missing/empty eval directory {d!r}",
                   file=sys.stderr)
     if not existing:
         raise FileNotFoundError(
-            f"none of the evaluation directories exist: {dirs}")
+            f"none of the evaluation directories exist (with .mat "
+            f"records): {dirs}")
     return existing
 
 

@@ -168,13 +168,18 @@ def test_cli_flex_partial_layout_average(eval_dir, tmp_path, capsys,
     survivable)."""
     monkeypatch.setattr(cli, "FLEX_RTGS", [3])
     missing = str(tmp_path / "no_such_dir")
+    empty = str(tmp_path / "exists_but_no_mats")
+    os.makedirs(empty)
     cli.main(["--block_size", "18", "--n_embeds", "6", "flex",
               "--max_timesteps", "8",
               "--checkpoint", "/nonexistent.pt",
               "--denoiser_ckpt", "/nonexistent.pt",
-              "--data_dirs", eval_dir, missing])
+              "--data_dirs", eval_dir, missing, empty])
     cap = capsys.readouterr()
-    assert "skipping missing eval directory" in cap.err
+    # Both non-contributing layouts are excluded from the divisor: a
+    # missing dir AND an existing-but-recordless dir (which would add
+    # nothing to the total but silently widen the denominator).
+    assert cap.err.count("skipping missing/empty eval directory") == 2
     # One evaluated dir -> the average IS that dir's increment.
     incr = float(cap.out.split("PSNR increment ")[1].split("\n")[0])
     avg = float(cap.out.split("Average increment: ")[1].split("\n")[0])

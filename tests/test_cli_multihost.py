@@ -7,7 +7,6 @@ single-process run over the same data.
 """
 import os
 import re
-import socket
 import subprocess
 import sys
 
@@ -84,38 +83,14 @@ with open(os.environ["OUT_PATH"] + ".single.txt", "w") as f:
 
 
 def _spawn(worker, n_proc, extra_env):
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
-    procs, logs = [], []
-    for rank in range(n_proc):
-        env = dict(
-            os.environ,
-            XLA_FLAGS="--xla_force_host_platform_device_count=1",
-            JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
-            JAX_NUM_PROCESSES=str(n_proc),
-            JAX_PROCESS_ID=str(rank),
-            REPO_ROOT=REPO,
-            **extra_env,
-        )
-        # Worker output streams to a FILE, never a pipe: jax debug logging
-        # can emit hundreds of KB, and a worker blocking on a full 64 KB
-        # pipe mid-collective deadlocks the whole rendezvous (the parent
-        # drains pipes sequentially only at communicate()).
-        log = open(extra_env["OUT_PATH"] + f".spawn{rank}.log", "w+")
-        logs.append(log)
-        procs.append(subprocess.Popen(
-            [sys.executable, "-c", worker], env=env, cwd=REPO,
-            stdout=log, stderr=subprocess.STDOUT, text=True))
-    outs = []
-    for rank, (p, log) in enumerate(zip(procs, logs)):
-        p.wait(timeout=600)
-        log.seek(0)
-        out = log.read()
-        log.close()
-        outs.append(out)
-        assert p.returncode == 0, f"rank {rank} failed:\n{out[-3000:]}"
-    return outs
+    """Coordinated 2-process launch via test_multihost's shared helper
+    (file-streamed logs, free coordinator port): 1 CPU device per
+    process; these workers write their own .ok sentinels, checked by the
+    callers where relevant."""
+    from tests.test_multihost import _spawn_ranks
+    out_path = extra_env["OUT_PATH"]
+    return _spawn_ranks(worker, out_path, n_proc=n_proc, device_count=1,
+                        extra_env=extra_env, check_sentinels=False)
 
 
 def _metrics(text):

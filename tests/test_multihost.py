@@ -20,13 +20,18 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _spawn_ranks(worker, out_path, n_proc=2):
-    """Launch ``n_proc`` coordinated JAX processes running ``worker``.
+def _spawn_ranks(worker, out_path, n_proc=2, device_count=2,
+                 extra_env=None, check_sentinels=True):
+    """Launch ``n_proc`` coordinated JAX processes running ``worker`` and
+    return their captured outputs.
 
     Worker output streams to files, never pipes: at DEBUG log levels jax
     internals can emit ~MB per process, and a worker blocking on a full
     64 KB pipe mid-collective deadlocks the whole rendezvous (the parent
-    would drain pipes only sequentially)."""
+    would drain pipes only sequentially).
+
+    Shared by test_cli_multihost (device_count=1, extra CLI env, sentinel
+    files written by its own workers)."""
     with socket.socket() as s:
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
@@ -34,26 +39,31 @@ def _spawn_ranks(worker, out_path, n_proc=2):
     for rank in range(n_proc):
         env = dict(
             os.environ,
-            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            XLA_FLAGS=f"--xla_force_host_platform_device_count"
+                      f"={device_count}",
             JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
             JAX_NUM_PROCESSES=str(n_proc),
             JAX_PROCESS_ID=str(rank),
             REPO_ROOT=REPO,
-            OUT_PATH=out_path,
+            **{"OUT_PATH": out_path, **(extra_env or {})},
         )
         log = open(out_path + f".spawn{rank}.log", "w+")
         logs.append(log)
         procs.append(subprocess.Popen(
-            [sys.executable, "-c", worker], env=env,
+            [sys.executable, "-c", worker], env=env, cwd=REPO,
             stdout=log, stderr=subprocess.STDOUT, text=True))
+    outs = []
     for rank, (p, log) in enumerate(zip(procs, logs)):
         p.wait(timeout=600)
         log.seek(0)
         out = log.read()
         log.close()
+        outs.append(out)
         assert p.returncode == 0, f"rank {rank} failed:\n{out[-3000:]}"
-        assert os.path.exists(out_path + f".ok{rank}"), \
-            f"rank {rank} missing success sentinel:\n{out[-3000:]}"
+        if check_sentinels:
+            assert os.path.exists(out_path + f".ok{rank}"), \
+                f"rank {rank} missing success sentinel:\n{out[-3000:]}"
+    return outs
 
 
 WORKER = r"""
