@@ -331,3 +331,17 @@ def test_device_selection_giveup_is_surfaced(params):
     with pytest.warns(RuntimeWarning, match=r"gave up floor recovery.*\[0\]"):
         out = device.run_batch([_record(seed=3)], seeds=[7], verbose=False)
     assert np.isfinite(out[0])
+
+
+def test_run_global_batches_single_process_matches_run_batch(device):
+    """The single-process fallback of run_global_batches (the CLI pod
+    entry point) must equal plain chunked run_batch calls in record
+    order — same trees, same seeds, same chunking."""
+    records = [_record(seed=s) for s in range(5)]
+    seeds = list(range(5))
+    got = device.run_global_batches(records, seeds, batch_size=2)
+    want = []
+    for off in range(0, 5, 2):
+        want += device.run_batch(records[off:off + 2],
+                                 seeds=seeds[off:off + 2], verbose=False)
+    assert got == want and len(got) == 5
