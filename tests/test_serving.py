@@ -235,3 +235,34 @@ def test_mesh_batch_size_must_divide():
     with pytest.raises(ValueError, match="multiple of the mesh data axis"):
         RestorationService(denoise=stub_denoise, mode="fixed",
                            batch_size=3, mesh=mesh)
+
+
+def test_mcts_mode_node_dtype_plumbs_through(params):
+    """`RestorationService(node_dtype='bfloat16')` reaches the embedded
+    DeviceMCTS (the scale knob documented in RESULTS.md) and serves
+    results in the f32 service's quality band."""
+    from dt4image_restoration_tpu.config import MCTSConfig
+
+    kw = dict(denoise=stub_denoise, mode="mcts", batch_size=4,
+              max_timesteps=MAXT, cfg=CFG, dt_apply=dt_apply,
+              dt_params=params,
+              search_cfg=MCTSConfig(iterations=2, max_timesteps=MAXT))
+    reqs = _requests(3)
+
+    f32 = RestorationService(**kw)
+    try:
+        assert f32._mcts.node_dtype == "float32"
+        want = f32.restore(reqs)
+    finally:
+        f32.close()
+
+    svc = RestorationService(node_dtype="bfloat16", **kw)
+    try:
+        assert svc._mcts.node_dtype == "bfloat16"
+        got = svc.restore(reqs)
+    finally:
+        svc.close()
+    for a, b in zip(want, got):
+        # Storage rounding may legally flip search decisions; both must
+        # stay in the same reward band (cf. test_mcts_device bf16-node).
+        assert abs(a.psnr_db - b.psnr_db) < 1.0
