@@ -232,3 +232,25 @@ def test_trainer_watch_logs_param_and_grad_histograms(rng):
     np.testing.assert_allclose(
         got, np.asarray(lookup(want, leaf), np.float32).ravel(),
         rtol=1e-5, atol=1e-7)
+
+
+def test_input_pipeline_bench_smoke(monkeypatch, capsys):
+    """benchmarks/input_pipeline_bench.py end-to-end on a tiny corpus
+    (CPU): corpus build -> TrainingDataset -> warm (both donated-state
+    signatures) -> interleaved sections -> one JSON line. Guards the
+    bench's trainer-path wiring (a donated TrainState was once reused
+    across sections and died with 'Array has been deleted')."""
+    import json as json_mod
+    import benchmarks.input_pipeline_bench as bench
+
+    monkeypatch.setattr(bench, "N_TRAJ", 12)
+    monkeypatch.setattr(bench, "BATCH", 4)
+    monkeypatch.setattr(bench, "EPOCH_REPS", 1)
+    monkeypatch.setattr("sys.argv", ["input_pipeline_bench.py", "--cpu"])
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    r = json_mod.loads(out)
+    assert r["steps_per_epoch"] >= 1
+    for k in ("input_only_s", "device_only_s", "transfer_step_s",
+              "epoch_wall_s", "overlap_efficiency"):
+        assert r[k] >= 0
