@@ -25,6 +25,10 @@ N_ITERS = 30
 MU = 0.5
 SIGMA_D = 15.0 / 255.0
 BATCH = 16
+SCALING_BATCHES = (64, 128, 256)
+KNEE_REP_BUDGET = 512   # slices dispatched per knee variant (reps = /b)
+SINGLE_REPEATS = 20
+BATCH_REPEATS = 10
 IMAGE_SEED = 0
 
 
@@ -106,8 +110,10 @@ def main() -> None:
     state1 = reset_from_mat(mat)
     roll_direct = make_roll(denoise_f32)
     roll_packed = make_roll(denoise_packed)
-    t_direct = _throughput(lambda: roll_direct(state1), fetch, repeats=20)
-    t_packed = _throughput(lambda: roll_packed(state1), fetch, repeats=20)
+    t_direct = _throughput(lambda: roll_direct(state1), fetch,
+                           repeats=SINGLE_REPEATS)
+    t_packed = _throughput(lambda: roll_packed(state1), fetch,
+                           repeats=SINGLE_REPEATS)
     # Adopt the faster exact variant for the headline; both are recorded.
     use_packed = t_packed < t_direct
     roll_f32 = roll_packed if use_packed else roll_direct
@@ -121,9 +127,9 @@ def main() -> None:
     big = {k: np.concatenate([m[k] for m in mats]) for k in mats[0]}
     stateB = reset_from_mat(big)
     t_batch_direct = _throughput(lambda: roll_direct(stateB), fetch,
-                                 repeats=10)
+                                 repeats=BATCH_REPEATS)
     t_batch_packed = _throughput(lambda: roll_packed(stateB), fetch,
-                                 repeats=10)
+                                 repeats=BATCH_REPEATS)
     t_batch = min(t_batch_direct, t_batch_packed)
     slices_per_sec = BATCH / t_batch
     _mark("B=16 A/B")
@@ -136,8 +142,8 @@ def main() -> None:
     # reference's own autocast surface (main.py:37-40) at 0.013 dB delta.
     roll_bf16_knee = make_roll(denoise_bf16)
     scaling = {}
-    for b in (64, 128, 256):
-        reps = max(2, 512 // b)
+    for b in SCALING_BATCHES:
+        reps = max(2, KNEE_REP_BUDGET // b)
         big_b = {k: np.concatenate([mats[s % BATCH][k] for s in range(b)])
                  for k in mats[0]}
         state_b = reset_from_mat(big_b)
@@ -158,11 +164,14 @@ def main() -> None:
     # --- bf16 variants (direct vs packed A/B, same adoption rule) ---------
     roll_bf16_d = roll_bf16_knee
     roll_bf16_p = make_roll(denoise_bf16_packed)
-    t_bf16_d = _throughput(lambda: roll_bf16_d(state1), fetch, repeats=20)
-    t_bf16_p = _throughput(lambda: roll_bf16_p(state1), fetch, repeats=20)
+    t_bf16_d = _throughput(lambda: roll_bf16_d(state1), fetch,
+                           repeats=SINGLE_REPEATS)
+    t_bf16_p = _throughput(lambda: roll_bf16_p(state1), fetch,
+                           repeats=SINGLE_REPEATS)
     t_bf16 = min(t_bf16_d, t_bf16_p)
     roll_bf16 = roll_bf16_p if t_bf16_p < t_bf16_d else roll_bf16_d
-    t_bf16_batch = _throughput(lambda: roll_bf16(stateB), fetch, repeats=10)
+    t_bf16_batch = _throughput(lambda: roll_bf16(stateB), fetch,
+                               repeats=BATCH_REPEATS)
     psnr_bf16 = fetch(roll_bf16(state1))
     _mark("bf16 single+B16")
 

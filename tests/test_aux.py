@@ -254,3 +254,30 @@ def test_input_pipeline_bench_smoke(monkeypatch, capsys):
     for k in ("input_only_s", "device_only_s", "transfer_step_s",
               "epoch_wall_s", "overlap_efficiency"):
         assert r[k] >= 0
+
+
+def test_headline_bench_smoke(monkeypatch, capsys):
+    """bench.py end-to-end at toy sizes (CPU): every A/B variant
+    compiles and runs, the JSON line parses, and the required keys are
+    present — guards the driver's round-end artifact against wiring
+    regressions in the sweep paths."""
+    import json as json_mod
+    import bench
+
+    monkeypatch.setattr(bench, "N_ITERS", 2)
+    monkeypatch.setattr(bench, "BATCH", 2)
+    monkeypatch.setattr(bench, "SCALING_BATCHES", (4,))
+    monkeypatch.setattr(bench, "KNEE_REP_BUDGET", 8)
+    monkeypatch.setattr(bench, "SINGLE_REPEATS", 2)
+    monkeypatch.setattr(bench, "BATCH_REPEATS", 2)
+    bench.main()
+    r = json_mod.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r["metric"] == "pnp_admm_iters_per_sec_per_chip"
+    assert r["value"] > 0 and r["vs_baseline"] > 0
+    e = r["extras"]
+    for k in ("psnr_parity_delta_db", "psnr_bf16_delta_db",
+              "batched_slices_per_sec_b4", "bf16_slices_per_sec_b4",
+              "unet_packed_adopted"):
+        assert k in e
+    # PSNR parity must hold at toy sizes too (identical weights/data).
+    assert abs(e["psnr_parity_delta_db"]) < 0.05
