@@ -104,6 +104,15 @@ def main() -> None:
             block_size=T, data_dir=data_dir, action_dim=cfg.action_dim,
             state_file_path=h5_path, tasks=tasks,
             min_rtg=min_rtg, max_rtg=max_rtg)
+        t0 = time.perf_counter()
+        dataset_pre = TrainingDataset(
+            block_size=T, data_dir=data_dir, action_dim=cfg.action_dim,
+            state_file_path=h5_path, tasks=tasks,
+            min_rtg=min_rtg, max_rtg=max_rtg, preload=True)
+        results["preload_upfront_s"] = round(time.perf_counter() - t0, 2)
+        from dt4image_restoration_tpu.data.native_loader import (
+            native_available)
+        results["native_loader"] = native_available()
         steps = len(dataset) // BATCH
         results["steps_per_epoch"] = steps
 
@@ -144,6 +153,14 @@ def main() -> None:
                 dataset.batches(BATCH, seed=rep)))
             assert n_in == steps, (n_in, steps)
 
+        def ep_input_native(rep):
+            # (1b) input-only through the preloaded + native-gather path
+            # (data/native_loader.py): the same batches, assembled by the
+            # C++ kernel from the resident uint8 cache.
+            n_in = sum(1 for _ in background_batches(
+                dataset_pre.batches(BATCH, seed=rep)))
+            assert n_in == steps, (n_in, steps)
+
         def ep_device(rep):
             # (2) device-only floor: resident batch, pipelined dispatch,
             # one scalar fetch at the end.
@@ -177,8 +194,21 @@ def main() -> None:
             with mesh:
                 trainer.train()
 
-        sections = {"input_only": ep_input, "device_only": ep_device,
-                    "transfer_step": ep_transfer, "epoch_wall": ep_trainer}
+        trainer_pre = Trainer(
+            train_step=step_fn, state=fresh_state(), config=tcfg,
+            batches=lambda epoch: dataset_pre.batches(BATCH, seed=epoch),
+            shard=lambda b: shard_batch(b, mesh),
+            checkpoint_dir=None)
+
+        def ep_trainer_native(rep):
+            # (3b) the same trainer epoch with --preload_data assembly.
+            with mesh:
+                trainer_pre.train()
+
+        sections = {"input_only": ep_input, "input_native": ep_input_native,
+                    "device_only": ep_device,
+                    "transfer_step": ep_transfer, "epoch_wall": ep_trainer,
+                    "epoch_native": ep_trainer_native}
         times = {k: [] for k in sections}
         for rep in range(EPOCH_REPS):
             for name, fn in sections.items():
@@ -195,6 +225,8 @@ def main() -> None:
         # means input ASSEMBLY is fully hidden behind transfer+compute.
         results["overlap_efficiency"] = round(
             med["transfer_step"] / med["epoch_wall"], 3)
+        results["overlap_efficiency_native"] = round(
+            med["transfer_step"] / med["epoch_native"], 3)
         results["input_bound"] = bool(
             med["input_only"] > med["transfer_step"])
 

@@ -59,7 +59,9 @@ class TrainingDataset:
                  min_rtg: float, max_rtg: float, image_size: int = 128,
                  normalize_rtg: bool = True,
                  path_prefix_len: int = 10,
-                 rng: Optional[np.random.Generator] = None) -> None:
+                 rng: Optional[np.random.Generator] = None,
+                 preload: bool = False,
+                 assembly_threads: Optional[int] = None) -> None:
         self.block_size = block_size
         self.data_dir = data_dir
         self.action_dim = action_dim
@@ -75,6 +77,15 @@ class TrainingDataset:
         self.files = sorted(os.listdir(data_dir))
         self.rng = rng or np.random.default_rng(0)
         self._h5 = None
+        # ``preload=True`` caches the parsed jsons and the uint8 state
+        # images once, and assembles batch states with ONE native
+        # gather+scale call (data/native_loader.py) — bit-exact with the
+        # streaming path, minus its per-item json/h5py/GIL cost.
+        self._cache = None
+        self._states_u8 = None
+        self._assembly_threads = assembly_threads
+        if preload:
+            self._preload()
 
     def __len__(self) -> int:
         return len(self.files)
@@ -89,7 +100,97 @@ class TrainingDataset:
         key = traj_path[self.path_prefix_len:]
         return np.float32(self._h5[key][:] / 255)
 
+    def _preload(self) -> None:
+        """Parse every trajectory json and load every referenced uint8
+        state image ONCE into a contiguous (n_images, H*W) array, so
+        ``batches`` can assemble states with a single native gather per
+        batch instead of per-item json/h5py reads. Outputs stay bit-exact
+        with the streaming path (native_loader's double-derived LUT
+        reproduces ``np.float32(img / 255)``)."""
+        import h5py
+        cache, key_rows, key_order = [], {}, []
+        for fn in self.files:
+            with open(os.path.join(self.data_dir, fn)) as f:
+                traj = json.load(f)
+            rtg = np.asarray(traj["RTG"], np.float32)
+            if self.normalize_rtg:
+                rtg = minmax_normalize(rtg, self.min_rtg, self.max_rtg)
+            actions = np.stack(
+                [np.asarray(traj["Actions"][k], np.float32)
+                 for k in ACTION_KEYS_JSON], axis=1)
+            rows = np.empty(len(traj["State Paths"]), np.int64)
+            for i, p in enumerate(traj["State Paths"]):
+                key = p[self.path_prefix_len:]
+                if key not in key_rows:
+                    key_rows[key] = len(key_order)
+                    key_order.append(key)
+                rows[i] = key_rows[key]
+            cache.append({
+                "length": len(traj["RTG"]), "rtg": rtg, "actions": actions,
+                "rows": rows,
+                "task_id": self.task_tokenizer[traj["Task"]],
+            })
+        with h5py.File(self.state_file_path, "r") as f:
+            first = np.asarray(f[key_order[0]]) if key_order else None
+            if first is not None and first.dtype != np.uint8:
+                raise ValueError(
+                    f"preload=True requires uint8 state images, got "
+                    f"{first.dtype}; use the streaming path")
+            elems = first.size if first is not None else 0
+            states = np.empty((len(key_order), elems), np.uint8)
+            for i, key in enumerate(key_order):
+                img = np.asarray(f[key])
+                if img.dtype != np.uint8 or img.size != elems:
+                    raise ValueError(
+                        f"preload=True requires homogeneous uint8 states; "
+                        f"{key} is {img.dtype} with {img.size} elems")
+                states[i] = img.reshape(-1)
+        self._cache, self._states_u8 = cache, states
+
+    def _item_meta(self, index: int):
+        """Preloaded per-item assembly: everything but the state pixels,
+        plus the image row indices (-1 = zero padding). Mirrors
+        ``__getitem__``'s two branches exactly, including the single
+        ``rng.integers`` call for the window start."""
+        c = self._cache[index]
+        traj_len, block = c["length"], self.block_size
+        task = np.full((block,), c["task_id"], np.int32)
+        if traj_len >= block:
+            start = 0 if traj_len == block else int(
+                self.rng.integers(0, traj_len - block))
+            sl = slice(start, start + block)
+            actions = c["actions"][sl]
+            rtg = c["rtg"][sl].reshape(-1, 1)
+            masks = np.ones((block,), np.float32)
+            rows = c["rows"][sl]
+            timesteps = np.arange(start, start + block,
+                                  dtype=np.int32).reshape(-1, 1)
+        else:
+            pad = block - traj_len
+            actions = np.concatenate(
+                [c["actions"], np.zeros((pad, c["actions"].shape[1]),
+                                        np.float32)])
+            rtg = np.concatenate(
+                [c["rtg"].reshape(-1, 1), np.zeros((pad, 1), np.float32)])
+            masks = np.concatenate(
+                [np.ones(traj_len, np.float32), np.zeros(pad, np.float32)])
+            rows = np.concatenate([c["rows"], np.full(pad, -1, np.int64)])
+            timesteps = np.arange(block, dtype=np.int32).reshape(-1, 1)
+        return rows, actions, rtg, masks[:, None], timesteps, task
+
     def __getitem__(self, index: int):
+        if self._cache is not None:
+            from dt4image_restoration_tpu.data.native_loader import (
+                gather_scale_u8)
+            rows, actions, rtg, masks, timesteps, task = \
+                self._item_meta(index)
+            states = gather_scale_u8(self._states_u8, rows,
+                                     self._assembly_threads)
+            # actions/rtg can be views into the preload cache; hand the
+            # caller copies so in-place edits can't corrupt later items
+            # (``batches`` stacks, which already copies).
+            return (states, actions.copy(), rtg.copy(), masks, timesteps,
+                    task)
         with open(os.path.join(self.data_dir, self.files[index])) as f:
             traj = json.load(f)
 
@@ -168,13 +269,26 @@ class TrainingDataset:
             order = np.resize(order, total)
         order = order[shard_index::num_shards]
         n = len(order) - (len(order) % batch_size if drop_remainder else 0)
+        names = ("states", "actions", "rtg", "traj_masks", "timesteps",
+                 "task")
         for i in range(0, n, batch_size):
             idx = order[i:i + batch_size]
             if len(idx) < batch_size and drop_remainder:
                 break
+            if self._cache is not None:
+                # Preloaded fast path: ONE native gather assembles every
+                # state window in the batch (GIL released, threaded).
+                from dt4image_restoration_tpu.data.native_loader import (
+                    gather_scale_u8)
+                metas = [self._item_meta(j) for j in idx]
+                batch = {k: np.stack([m[j + 1] for m in metas])
+                         for j, k in enumerate(names[1:])}
+                batch["states"] = gather_scale_u8(
+                    self._states_u8, np.stack([m[0] for m in metas]),
+                    self._assembly_threads)
+                yield {k: batch[k] for k in names}
+                continue
             items = [self[j] for j in idx]
-            names = ("states", "actions", "rtg", "traj_masks", "timesteps",
-                     "task")
             yield {k: np.stack([it[j] for it in items])
                    for j, k in enumerate(names)}
 

@@ -113,7 +113,8 @@ def cmd_train(args) -> None:
     dataset = TrainingDataset(
         block_size=cfg.context_length, data_dir=args.data_dir,
         action_dim=cfg.action_dim, state_file_path=args.state_file,
-        tasks=tasks, min_rtg=min_rtg, max_rtg=max_rtg)
+        tasks=tasks, min_rtg=min_rtg, max_rtg=max_rtg,
+        preload=args.preload_data)
     # batch_size is PER PROCESS (the reference's per-GPU batch under DDP);
     # the global batch is batch_size * process_count.
     n_proc = jax.process_count()
@@ -332,6 +333,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="compute dtype (bfloat16 = the reference's autocast)")
+    t.add_argument("--preload_data", action="store_true",
+                   help="cache parsed trajectories + uint8 states once and "
+                        "assemble batch states with the native C++ gather "
+                        "(bit-exact; removes per-item json/h5py cost)")
 
     for name, ckpt in (("eval", "checkpoints/model_experiment_2.pt"),
                        ("mcts", "checkpoints/model_experiment_2.pt"),

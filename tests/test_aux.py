@@ -251,9 +251,12 @@ def test_input_pipeline_bench_smoke(monkeypatch, capsys):
     out = capsys.readouterr().out.strip().splitlines()[-1]
     r = json_mod.loads(out)
     assert r["steps_per_epoch"] >= 1
-    for k in ("input_only_s", "device_only_s", "transfer_step_s",
-              "epoch_wall_s", "overlap_efficiency"):
+    for k in ("input_only_s", "input_native_s", "device_only_s",
+              "transfer_step_s", "epoch_wall_s", "epoch_native_s",
+              "overlap_efficiency", "overlap_efficiency_native",
+              "preload_upfront_s"):
         assert r[k] >= 0
+    assert r["native_loader"] is True  # g++ is baked into the image
 
 
 def test_headline_bench_smoke(monkeypatch, capsys):

@@ -100,13 +100,14 @@ def test_cli_flex_smoke(eval_dir, capsys, monkeypatch):
     assert "Average increment" in out
 
 
-def _run_train(train_fixture, tmp_path, capsys, monkeypatch) -> str:
+def _run_train(train_fixture, tmp_path, capsys, monkeypatch,
+               extra_args=()) -> str:
     data_dir, h5_path = train_fixture
     monkeypatch.chdir(tmp_path)
     cli.main(["--block_size", "18", "train", "--batch_size", "2",
               "--save_every", "1", "--max_epochs", "1",
               "--data_dir", data_dir, "--state_file", h5_path,
-              "--checkpoint_dir", str(tmp_path / "ckpts")])
+              "--checkpoint_dir", str(tmp_path / "ckpts"), *extra_args])
     out = capsys.readouterr().out
     assert "Training complete" in out
     assert os.path.isdir(tmp_path / "ckpts" / "model_0")
@@ -115,6 +116,15 @@ def _run_train(train_fixture, tmp_path, capsys, monkeypatch) -> str:
 
 def test_cli_train_smoke(train_fixture, tmp_path, capsys, monkeypatch):
     _run_train(train_fixture, tmp_path, capsys, monkeypatch)
+
+
+def test_cli_train_preload_smoke(train_fixture, tmp_path, capsys,
+                                 monkeypatch):
+    """--preload_data trains through the native-assembly fast path
+    (data/native_loader.py); the loss path and checkpoints are identical
+    because batch assembly is bit-exact with the streaming path."""
+    _run_train(train_fixture, tmp_path, capsys, monkeypatch,
+               extra_args=["--preload_data"])
 
 
 def test_cli_train_then_eval_orbax_roundtrip(train_fixture, eval_dir,
