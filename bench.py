@@ -23,6 +23,7 @@ import numpy as np
 
 N_ITERS = 30
 MU = 0.5
+PROBE_TIMEOUT_S = 90  # axon-tunnel health probe (outages make devices() hang)
 SIGMA_D = 15.0 / 255.0
 BATCH = 16
 SCALING_BATCHES = (64, 128, 256)
@@ -44,8 +45,39 @@ def _throughput(fn, fetch, repeats: int, warmup: int = 2) -> float:
     return (time.perf_counter() - t0) / repeats
 
 
+def _tpu_reachable(timeout_s: float = PROBE_TIMEOUT_S) -> bool:
+    """Probe the TPU backend in a SUBPROCESS with a hard timeout: when the
+    axon tunnel is down, ``jax.devices()`` hangs instead of erroring
+    (CLAUDE.md, observed 2026-08-17), which would hang the driver's
+    round-end bench run forever. A dead probe -> bounded CPU fallback with
+    ``tpu_unreachable`` recorded, instead of no artifact at all."""
+    import subprocess
+    import sys
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            timeout=timeout_s, capture_output=True, text=True)
+        return r.returncode == 0 and "tpu" in r.stdout
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
 def main() -> None:
+    import os
+    import sys
+
+    tpu_unreachable = False
+    if os.environ.get("JAX_PLATFORMS", "") != "cpu" and not _tpu_reachable():
+        tpu_unreachable = True
+        print("[bench] TPU backend unreachable (tunnel down?) — "
+              "falling back to CPU; extras.tpu_unreachable=true",
+              file=sys.stderr)
+
     import jax
+
+    if tpu_unreachable:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     import sys as _sys
@@ -190,6 +222,7 @@ def main() -> None:
         "extras": {
             "platform": jax.devices()[0].platform,
             "device": str(jax.devices()[0]),
+            "tpu_unreachable": tpu_unreachable,
             "single_slice_ms_per_iter": round(1e3 * t_single / N_ITERS, 3),
             "unet_packed_adopted": bool(use_packed),
             "direct_iters_per_sec": round(N_ITERS / t_direct, 2),

@@ -282,5 +282,64 @@ def test_headline_bench_smoke(monkeypatch, capsys):
               "batched_slices_per_sec_b4", "bf16_slices_per_sec_b4",
               "unet_packed_adopted"):
         assert k in e
+    # Under the suite's forced-CPU env the tunnel probe is skipped.
+    assert e["tpu_unreachable"] is False
     # PSNR parity must hold at toy sizes too (identical weights/data).
     assert abs(e["psnr_parity_delta_db"]) < 0.05
+
+
+def test_headline_bench_tunnel_outage_fallback(monkeypatch, capsys):
+    """When the TPU probe fails (axon tunnel down: jax.devices() HANGS
+    rather than erroring), bench.py must still emit its JSON line on CPU
+    with tpu_unreachable flagged — the driver's round-end artifact must
+    never hang."""
+    import json as json_mod
+    import bench
+
+    monkeypatch.setattr(bench, "N_ITERS", 2)
+    monkeypatch.setattr(bench, "BATCH", 2)
+    monkeypatch.setattr(bench, "SCALING_BATCHES", (4,))
+    monkeypatch.setattr(bench, "KNEE_REP_BUDGET", 8)
+    monkeypatch.setattr(bench, "SINGLE_REPEATS", 2)
+    monkeypatch.setattr(bench, "BATCH_REPEATS", 2)
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)  # force the probe
+    monkeypatch.setattr(bench, "_tpu_reachable", lambda: False)
+    bench.main()
+    r = json_mod.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r["extras"]["tpu_unreachable"] is True
+    assert r["extras"]["platform"] == "cpu"
+    assert r["value"] > 0
+
+
+def test_serving_bench_smoke(monkeypatch, capsys):
+    """benchmarks/serving_bench.py end-to-end at toy sizes (CPU): policy
+    throughput + single-request latency + concurrent-client percentiles +
+    mcts mode all produce finite numbers in one JSON line."""
+    import json as json_mod
+    import benchmarks.serving_bench as bench
+
+    monkeypatch.setattr(bench, "POLICY_BATCH", 2)
+    monkeypatch.setattr(bench, "POLICY_LOAD", 4)
+    monkeypatch.setattr(bench, "N_CLIENTS", 2)
+    monkeypatch.setattr(bench, "REQS_PER_CLIENT", 2)
+    monkeypatch.setattr(bench, "MCTS_BATCH", 2)
+    monkeypatch.setattr(bench, "MAX_TIMESTEPS", 8)
+    monkeypatch.setattr(bench, "MCTS_ITERATIONS", 2)
+    monkeypatch.setattr("sys.argv", ["serving_bench.py", "--cpu"])
+    bench.main()
+    r = json_mod.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    for k in ("serving_policy_requests_per_sec",
+              "serving_policy_single_latency_ms",
+              "serving_policy_concurrent_p50_ms",
+              "serving_policy_concurrent_p95_ms",
+              "serving_policy_concurrent_p99_ms",
+              "serving_mcts_requests_per_sec"):
+        assert r[k] > 0
+    assert (r["serving_policy_concurrent_p99_ms"]
+            >= r["serving_policy_concurrent_p50_ms"])
+
+
+def test_tpu_probe_times_out_fast():
+    """A hung backend init must be bounded by the probe timeout."""
+    import bench
+    assert bench._tpu_reachable(timeout_s=0.05) is False
