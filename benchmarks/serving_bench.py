@@ -18,9 +18,22 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+POLICY_BATCH = 16      # compiled service batch shape (policy mode)
+POLICY_LOAD = 64       # requests in the throughput burst
+N_CLIENTS = 8          # concurrent client threads (percentile section)
+REQS_PER_CLIENT = 8
+MCTS_BATCH = 8
+MAX_TIMESTEPS = 30
+MCTS_ITERATIONS = 30
+IMAGE_SIZE = 128
+
 
 def main() -> None:
     import jax
+    if "--cpu" in sys.argv:
+        # Tunnel-free control / smoke path (the suite's conftest does the
+        # same; env vars alone are too late, CLAUDE.md).
+        jax.config.update("jax_platforms", "cpu")
 
     from dt4image_restoration_tpu.config import MCTSConfig, ModelConfig
     from dt4image_restoration_tpu.data import make_mat_record
@@ -47,38 +60,73 @@ def main() -> None:
     dt_apply = make_dt_apply(cfg)
 
     def requests(n):
-        return [RestorationRequest(mat=make_mat_record(seed=i), rtg=0.6,
-                                   task=2) for i in range(n)]
+        return [RestorationRequest(
+            mat=make_mat_record(size=IMAGE_SIZE, seed=i), rtg=0.6,
+            task=2) for i in range(n)]
 
     # --- policy mode -----------------------------------------------------
     svc = RestorationService(denoise=denoise, cfg=cfg, dt_apply=dt_apply,
                              dt_params=dt_params, mode="policy",
-                             batch_size=16, max_timesteps=30)
+                             batch_size=POLICY_BATCH,
+                             max_timesteps=MAX_TIMESTEPS)
     try:
-        svc.restore(requests(16))  # compile + warm
+        svc.restore(requests(POLICY_BATCH))  # compile + warm
         t0 = time.perf_counter()
-        svc.restore(requests(64))
+        svc.restore(requests(POLICY_LOAD))
         wall = time.perf_counter() - t0
-        results["serving_policy_requests_per_sec"] = round(64 / wall, 2)
+        results["serving_policy_requests_per_sec"] = round(
+            POLICY_LOAD / wall, 2)
         t0 = time.perf_counter()
         svc.restore(requests(1))  # single-request latency (padded batch)
         results["serving_policy_single_latency_ms"] = round(
             1e3 * (time.perf_counter() - t0), 1)
+
+        # Concurrent independent clients (the production shape):
+        # N_CLIENTS client threads x REQS_PER_CLIENT sequential
+        # single-slice requests each, per-request wall from submit to
+        # Future resolution — exercises queue contention + batch
+        # aggregation under load and reports tail latency, not just the
+        # solo round trip.
+        import threading
+        reqs = requests(N_CLIENTS)
+        lat_ms = []
+        lat_lock = threading.Lock()
+
+        def client(k):
+            for _ in range(REQS_PER_CLIENT):
+                t0 = time.perf_counter()
+                svc.submit(reqs[k]).result()
+                dt = 1e3 * (time.perf_counter() - t0)
+                with lat_lock:
+                    lat_ms.append(dt)
+
+        threads = [threading.Thread(target=client, args=(k,))
+                   for k in range(N_CLIENTS)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        p50, p95, p99 = np.percentile(lat_ms, [50, 95, 99])
+        results["serving_policy_concurrent_p50_ms"] = round(float(p50), 1)
+        results["serving_policy_concurrent_p95_ms"] = round(float(p95), 1)
+        results["serving_policy_concurrent_p99_ms"] = round(float(p99), 1)
     finally:
         svc.close()
 
     # --- mcts mode (device-resident search per batch) --------------------
     svc = RestorationService(denoise=denoise, cfg=cfg, dt_apply=dt_apply,
                              dt_params=dt_params, mode="mcts",
-                             batch_size=8, max_timesteps=30,
-                             search_cfg=MCTSConfig(iterations=30),
+                             batch_size=MCTS_BATCH,
+                             max_timesteps=MAX_TIMESTEPS,
+                             search_cfg=MCTSConfig(iterations=MCTS_ITERATIONS),
                              value_fn_jax=proxy_value_fn_jax)
     try:
-        svc.restore(requests(8))  # compile + warm
+        svc.restore(requests(MCTS_BATCH))  # compile + warm
         t0 = time.perf_counter()
-        svc.restore(requests(16))
+        svc.restore(requests(2 * MCTS_BATCH))
         wall = time.perf_counter() - t0
-        results["serving_mcts_requests_per_sec"] = round(16 / wall, 2)
+        results["serving_mcts_requests_per_sec"] = round(
+            2 * MCTS_BATCH / wall, 2)
     finally:
         svc.close()
 
