@@ -113,6 +113,25 @@ def main() -> None:
     finally:
         svc.close()
 
+    # --- pipelined dispatch A/B (policy mode) ------------------------------
+    # pipeline_depth=2: batch N+1 assembles+dispatches while batch N's
+    # fetch is in flight — the sustained-load shape where the fetch round
+    # trip leaves the steady-state path.
+    svc = RestorationService(denoise=denoise, cfg=cfg, dt_apply=dt_apply,
+                             dt_params=dt_params, mode="policy",
+                             batch_size=POLICY_BATCH,
+                             max_timesteps=MAX_TIMESTEPS,
+                             pipeline_depth=2)
+    try:
+        svc.restore(requests(POLICY_BATCH))  # compile + warm
+        t0 = time.perf_counter()
+        svc.restore(requests(POLICY_LOAD))
+        wall = time.perf_counter() - t0
+        results["serving_policy_pipelined_requests_per_sec"] = round(
+            POLICY_LOAD / wall, 2)
+    finally:
+        svc.close()
+
     # --- mcts mode (device-resident search per batch) --------------------
     svc = RestorationService(denoise=denoise, cfg=cfg, dt_apply=dt_apply,
                              dt_params=dt_params, mode="mcts",

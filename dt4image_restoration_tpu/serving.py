@@ -68,6 +68,14 @@ class RestorationService:
       node_dtype: storage dtype for the search's per-node env snapshots
         ('float32' | 'bfloat16') — mcts mode only; bfloat16 halves the
         search's HBM cost (compute stays f32, see RESULTS.md).
+      pipeline_depth: >1 overlaps batches under sustained load: the
+        dispatcher thread assembles + dispatches batch N+1 while a
+        resolver thread fetches batch N's outputs (JAX dispatch is
+        async, so the device never idles waiting on the host fetch —
+        on a high-RTT link the fetch round trip leaves the steady-state
+        path entirely). Bounded to ``pipeline_depth`` in-flight batches
+        (backpressure via a bounded queue). policy/fixed modes only
+        (the mcts search fetches inside its own program driver).
     """
 
     def __init__(self, denoise: Callable, cfg: Optional[ModelConfig] = None,
@@ -79,11 +87,19 @@ class RestorationService:
                  search_cfg: Any = None,
                  value_fn_jax: Optional[Callable] = None,
                  mesh: Any = None,
-                 node_dtype: str = "float32") -> None:
+                 node_dtype: str = "float32",
+                 pipeline_depth: int = 1) -> None:
         if mode not in ("policy", "mcts", "fixed"):
             raise ValueError(
                 f"unknown serving mode {mode!r}; expected one of "
                 "'policy', 'mcts', 'fixed'")
+        if pipeline_depth < 1:
+            raise ValueError(f"pipeline_depth must be >= 1, got "
+                             f"{pipeline_depth}")
+        if pipeline_depth > 1 and mode == "mcts":
+            raise ValueError(
+                "pipeline_depth > 1 is for policy/fixed modes; the mcts "
+                "search driver fetches its own outputs")
         if mode in ("policy", "mcts") and (cfg is None or dt_apply is None):
             raise ValueError(f"{mode} mode needs cfg + dt_apply + dt_params")
         if mesh is not None:
@@ -142,6 +158,17 @@ class RestorationService:
 
             self._program = jax.jit(run_fixed)
 
+        self._resolve_q: Optional["queue.Queue"] = None
+        self._resolver: Optional[threading.Thread] = None
+        if pipeline_depth > 1:
+            # Bounded: at most pipeline_depth batches in flight (one being
+            # dispatched + depth-1 queued for fetch) — backpressure, not an
+            # unbounded device-buffer pile-up.
+            self._resolve_q = queue.Queue(maxsize=pipeline_depth - 1)
+            self._resolver = threading.Thread(target=self._resolve_loop,
+                                              daemon=True)
+            self._resolver.start()
+
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
@@ -170,6 +197,10 @@ class RestorationService:
         # half-processed queue (joining a daemon thread is bounded by the
         # batch wall time).
         self._worker.join()
+        if self._resolver is not None:
+            # The worker enqueues the drain sentinel on exit, so every
+            # already-dispatched batch resolves before the join returns.
+            self._resolver.join()
         # Cancel anything still queued so callers don't block forever.
         while True:
             try:
@@ -197,6 +228,20 @@ class RestorationService:
             items = self._collect()
             if not items:
                 continue
+            if self._resolve_q is not None:
+                # Pipelined: assemble + dispatch here (async), fetch on
+                # the resolver thread, so the next batch's host work
+                # overlaps this batch's device execution + fetch.
+                try:
+                    handle = self._dispatch_batch(
+                        [req for req, _ in items])
+                except Exception as exc:
+                    for _, fut in items:
+                        if not fut.done():
+                            fut.set_exception(exc)
+                else:
+                    self._resolve_q.put((items, handle))
+                continue
             try:
                 results = self._run_batch([req for req, _ in items])
                 for (_, fut), res in zip(items, results):
@@ -205,8 +250,32 @@ class RestorationService:
                 for _, fut in items:
                     if not fut.done():
                         fut.set_exception(exc)
+        if self._resolve_q is not None:
+            self._resolve_q.put(None)  # drain sentinel for close()
+
+    def _resolve_loop(self) -> None:
+        while True:
+            entry = self._resolve_q.get()
+            if entry is None:
+                return
+            items, handle = entry
+            try:
+                results = self._finalize_batch(handle)
+                for (_, fut), res in zip(items, results):
+                    fut.set_result(res)
+            except Exception as exc:
+                for _, fut in items:
+                    if not fut.done():
+                        fut.set_exception(exc)
 
     def _run_batch(self, requests) -> list:
+        if self.mode == "mcts":
+            return self._run_mcts_batch(requests)
+        return self._finalize_batch(self._dispatch_batch(requests))
+
+    def _prepare_mats(self, requests):
+        """Host-side batch assembly: pad to the compiled shape and stack
+        the .mat records."""
         n = len(requests)
         pad = self.batch_size - n
         padded = list(requests) + [requests[-1]] * pad
@@ -226,25 +295,32 @@ class RestorationService:
         # The reference's eval dataset clips x0 at 0 before the env consumes
         # it (datasets.py:160,199); keep serving consistent with that path.
         mats["x0"] = np.clip(mats["x0"], 0, None)
+        return n, padded, has_gt, mats
 
-        if self.mode == "mcts":
-            # One device program searches the whole padded batch; a fixed
-            # per-request seed keeps results independent of batch
-            # composition (the trees are lockstep but isolated, tested).
-            recs = []
-            for i, r in enumerate(padded):
-                m = {k: v[i:i + 1] for k, v in mats.items()}
-                recs.append(((None, np.float32(r.rtg), None,
-                              np.int32(r.task)), m))
-            results = self._mcts.run_batch(
-                recs, seeds=[self._mcts.cfg.seed] * len(recs),
-                detailed=True, verbose=False)[:n]
-            return [RestorationResult(
-                image=np.clip(res["image"], 0.0, 1.0),
-                psnr_db=res["reward"] if has_gt[i] else None,
-                episode_len=res["episode_len"])
-                for i, res in enumerate(results)]
+    def _run_mcts_batch(self, requests) -> list:
+        # One device program searches the whole padded batch; a fixed
+        # per-request seed keeps results independent of batch
+        # composition (the trees are lockstep but isolated, tested).
+        n, padded, has_gt, mats = self._prepare_mats(requests)
+        recs = []
+        for i, r in enumerate(padded):
+            m = {k: v[i:i + 1] for k, v in mats.items()}
+            recs.append(((None, np.float32(r.rtg), None,
+                          np.int32(r.task)), m))
+        results = self._mcts.run_batch(
+            recs, seeds=[self._mcts.cfg.seed] * len(recs),
+            detailed=True, verbose=False)[:n]
+        return [RestorationResult(
+            image=np.clip(res["image"], 0.0, 1.0),
+            psnr_db=res["reward"] if has_gt[i] else None,
+            episode_len=res["episode_len"])
+            for i, res in enumerate(results)]
 
+    def _dispatch_batch(self, requests):
+        """Assemble + dispatch one policy/fixed batch; returns lazy device
+        handles (JAX dispatch is async — nothing blocks until
+        :meth:`_finalize_batch` fetches)."""
+        n, padded, has_gt, mats = self._prepare_mats(requests)
         env_state = reset_from_mat(mats)
         if self.mesh is not None:
             # Shard the fixed batch over the mesh's data axis (single
@@ -274,9 +350,15 @@ class RestorationService:
 
         # Slice on device BEFORE the host fetch: only the n live rows
         # cross the link, not the padding.
-        images = np.asarray(images[:n, 0])
-        reward = np.asarray(reward[:n, 0])
-        ep_len = np.asarray(ep_len[:n])
+        return images[:n, 0], reward[:n, 0], ep_len[:n], has_gt
+
+    def _finalize_batch(self, handle) -> list:
+        """Fetch one dispatched batch's outputs and build the results."""
+        images, reward, ep_len, has_gt = handle
+        images = np.asarray(images)
+        reward = np.asarray(reward)
+        ep_len = np.asarray(ep_len)
+        n = len(has_gt)
         return [RestorationResult(
             image=np.clip(images[i], 0.0, 1.0),
             psnr_db=float(reward[i]) if has_gt[i] else None,

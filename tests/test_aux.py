@@ -333,6 +333,7 @@ def test_serving_bench_smoke(monkeypatch, capsys):
               "serving_policy_concurrent_p50_ms",
               "serving_policy_concurrent_p95_ms",
               "serving_policy_concurrent_p99_ms",
+              "serving_policy_pipelined_requests_per_sec",
               "serving_mcts_requests_per_sec"):
         assert r[k] > 0
     assert (r["serving_policy_concurrent_p99_ms"]

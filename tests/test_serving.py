@@ -266,3 +266,53 @@ def test_mcts_mode_node_dtype_plumbs_through(params):
         # Storage rounding may legally flip search decisions; both must
         # stay in the same reward band (cf. test_mcts_device bf16-node).
         assert abs(a.psnr_db - b.psnr_db) < 1.0
+
+
+def test_pipelined_service_matches_unpipelined(params):
+    """pipeline_depth=2 (dispatch/fetch on separate threads) returns the
+    same results as the inline path, across multiple consecutive batches
+    (the pipelining case) and a padded partial batch."""
+    kw = dict(denoise=stub_denoise, cfg=CFG, dt_apply=dt_apply,
+              dt_params=params, mode="policy", batch_size=4,
+              max_timesteps=MAXT)
+    reqs = _requests(11)  # 2 full batches + a padded partial
+    plain = RestorationService(**kw)
+    try:
+        want = plain.restore(reqs)
+    finally:
+        plain.close()
+    piped = RestorationService(pipeline_depth=2, **kw)
+    try:
+        got = piped.restore(reqs)
+    finally:
+        piped.close()
+    assert len(got) == len(want) == 11
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g.image, w.image, atol=1e-6)
+        assert g.episode_len == w.episode_len
+        np.testing.assert_allclose(g.psnr_db, w.psnr_db, atol=1e-5)
+
+
+def test_pipelined_close_resolves_in_flight():
+    """close() must drain already-dispatched batches through the resolver
+    (the drain sentinel) — submitted futures resolve, never hang."""
+    svc = RestorationService(denoise=lambda img, sig: jnp.clip(img, 0, 1),
+                             mode="fixed", batch_size=2, max_timesteps=5,
+                             pipeline_depth=3)
+    futs = [svc.submit(r) for r in _requests(6)]
+    svc.close()
+    done = [f for f in futs if f.done() and not f.cancelled()]
+    cancelled = [f for f in futs if f.cancelled()]
+    assert len(done) + len(cancelled) == 6
+    for f in done:
+        assert f.result().image.shape == (128, 128)
+
+
+def test_pipeline_depth_validation():
+    with pytest.raises(ValueError, match="pipeline_depth"):
+        RestorationService(denoise=stub_denoise, mode="fixed",
+                           pipeline_depth=0)
+    with pytest.raises(ValueError, match="policy/fixed"):
+        RestorationService(denoise=stub_denoise, cfg=CFG,
+                           dt_apply=dt_apply, dt_params=None,
+                           mode="mcts", pipeline_depth=2)
