@@ -67,8 +67,9 @@ def main() -> None:
     import os
     import sys
 
+    env_cpu = os.environ.get("JAX_PLATFORMS", "") == "cpu"
     tpu_unreachable = False
-    if os.environ.get("JAX_PLATFORMS", "") != "cpu" and not _tpu_reachable():
+    if not env_cpu and not _tpu_reachable():
         tpu_unreachable = True
         print("[bench] TPU backend unreachable (tunnel down?) — "
               "falling back to CPU; extras.tpu_unreachable=true",
@@ -76,7 +77,9 @@ def main() -> None:
 
     import jax
 
-    if tpu_unreachable:
+    if env_cpu or tpu_unreachable:
+        # The env var alone does NOT switch backends under the
+        # sitecustomize-pinned jax (CLAUDE.md); the config update does.
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 

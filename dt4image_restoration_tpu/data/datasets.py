@@ -167,14 +167,17 @@ class TrainingDataset:
                                   dtype=np.int32).reshape(-1, 1)
         else:
             pad = block - traj_len
+            # [:traj_len] like the streaming path: Actions / State Paths
+            # may legally be longer than RTG (traj_len is len(RTG)).
             actions = np.concatenate(
-                [c["actions"], np.zeros((pad, c["actions"].shape[1]),
-                                        np.float32)])
+                [c["actions"][:traj_len],
+                 np.zeros((pad, c["actions"].shape[1]), np.float32)])
             rtg = np.concatenate(
                 [c["rtg"].reshape(-1, 1), np.zeros((pad, 1), np.float32)])
             masks = np.concatenate(
                 [np.ones(traj_len, np.float32), np.zeros(pad, np.float32)])
-            rows = np.concatenate([c["rows"], np.full(pad, -1, np.int64)])
+            rows = np.concatenate(
+                [c["rows"][:traj_len], np.full(pad, -1, np.int64)])
             timesteps = np.arange(block, dtype=np.int32).reshape(-1, 1)
         return rows, actions, rtg, masks[:, None], timesteps, task
 

@@ -98,7 +98,23 @@ extern "C" void dt4ir_gather_scale(const std::uint8_t* src,
 }
 """
 
-_CACHE_DIR = os.environ.get("DT4IR_NATIVE_CACHE", "/tmp/dt4ir_native")
+# Per-UID, 0700: a world-writable shared /tmp path would let another local
+# user plant a precomputed-digest .so that we would CDLL into the process.
+_CACHE_DIR = os.environ.get(
+    "DT4IR_NATIVE_CACHE",
+    f"/tmp/dt4ir_native_{os.getuid() if hasattr(os, 'getuid') else 'u'}")
+
+
+def _secure_cache_dir() -> str:
+    """The cache dir, created 0700; if it exists but is not exclusively
+    ours (wrong owner or group/other-writable), fall back to a fresh
+    private directory rather than trusting its contents."""
+    os.makedirs(_CACHE_DIR, mode=0o700, exist_ok=True)
+    st = os.stat(_CACHE_DIR)
+    uid_ok = not hasattr(os, "getuid") or st.st_uid == os.getuid()
+    if uid_ok and not (st.st_mode & 0o022):
+        return _CACHE_DIR
+    return tempfile.mkdtemp(prefix="dt4ir_native_")
 
 # LUT for the numpy fallback — same double-derived values as the C++ side.
 _LUT_NP = (np.arange(256, dtype=np.float64) / 255.0).astype(np.float32)
@@ -115,11 +131,11 @@ def _build_lib() -> Optional[ctypes.CDLL]:
     if _build_failed or os.environ.get("DT4IR_NATIVE_DISABLE") == "1":
         return None
     digest = hashlib.sha256(_CPP_SOURCE.encode()).hexdigest()[:16]
-    so_path = os.path.join(_CACHE_DIR, f"libdt4ir_loader_{digest}.so")
     try:
+        cache_dir = _secure_cache_dir()
+        so_path = os.path.join(cache_dir, f"libdt4ir_loader_{digest}.so")
         if not os.path.exists(so_path):
-            os.makedirs(_CACHE_DIR, exist_ok=True)
-            with tempfile.TemporaryDirectory(dir=_CACHE_DIR) as tmp:
+            with tempfile.TemporaryDirectory(dir=cache_dir) as tmp:
                 src = os.path.join(tmp, "loader.cpp")
                 with open(src, "w") as f:
                     f.write(_CPP_SOURCE)

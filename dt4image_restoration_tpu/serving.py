@@ -19,7 +19,7 @@ from __future__ import annotations
 import dataclasses
 import queue
 import threading
-from concurrent.futures import Future
+from concurrent.futures import Future, InvalidStateError
 from typing import Any, Callable, Mapping, Optional
 
 import jax
@@ -47,6 +47,24 @@ class RestorationResult:
     image: np.ndarray          # (H, W) restored slice
     psnr_db: Optional[float]   # vs gt if the record carried one
     episode_len: int
+
+
+def _settle(fut: Future, result=None, exc: Optional[BaseException] = None
+            ) -> None:
+    """Resolve a future, tolerating client-side cancel(): these futures are
+    never marked running, so a caller may cancel one mid-batch — its
+    batchmates' results must still land (set_result on a cancelled future
+    raises InvalidStateError, which must not poison the rest of the batch).
+    """
+    if fut.done():
+        return
+    try:
+        if exc is not None:
+            fut.set_exception(exc)
+        else:
+            fut.set_result(result)
+    except InvalidStateError:
+        pass  # lost the race to a concurrent cancel()
 
 
 class RestorationService:
@@ -237,19 +255,17 @@ class RestorationService:
                         [req for req, _ in items])
                 except Exception as exc:
                     for _, fut in items:
-                        if not fut.done():
-                            fut.set_exception(exc)
+                        _settle(fut, exc=exc)
                 else:
                     self._resolve_q.put((items, handle))
                 continue
             try:
                 results = self._run_batch([req for req, _ in items])
                 for (_, fut), res in zip(items, results):
-                    fut.set_result(res)
+                    _settle(fut, res)
             except Exception as exc:  # pragma: no cover - defensive
                 for _, fut in items:
-                    if not fut.done():
-                        fut.set_exception(exc)
+                    _settle(fut, exc=exc)
         if self._resolve_q is not None:
             self._resolve_q.put(None)  # drain sentinel for close()
 
@@ -262,11 +278,10 @@ class RestorationService:
             try:
                 results = self._finalize_batch(handle)
                 for (_, fut), res in zip(items, results):
-                    fut.set_result(res)
+                    _settle(fut, res)
             except Exception as exc:
                 for _, fut in items:
-                    if not fut.done():
-                        fut.set_exception(exc)
+                    _settle(fut, exc=exc)
 
     def _run_batch(self, requests) -> list:
         if self.mode == "mcts":

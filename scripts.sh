@@ -1,6 +1,9 @@
 #train script
 python main.py --block_size 18 train --batch_size 48 --compile --save_every 1 --max_epochs 5
 
+#train with native C++ batch assembly (bit-exact; 25x host assembly)
+python main.py --block_size 18 train --batch_size 48 --preload_data --save_every 1 --max_epochs 5
+
 #train ddp script (accepted for parity; sharding over the TPU mesh is always on)
 python main.py --block_size 18 train --batch_size 48 --ddp --compile --save_every 1 --max_epochs 5
 
@@ -23,7 +26,8 @@ python benchmarks/eval_bench.py
 #training-step throughput (fused donated update, f32 + bf16)
 python benchmarks/train_bench.py
 
-#serving throughput/latency (batching service, policy + mcts modes)
+#serving throughput/latency (batching service, policy + mcts modes,
+#concurrent-client p50/p95/p99, pipelined-dispatch A/B)
 python benchmarks/serving_bench.py
 
 #end-to-end learning validation (record expert trajectories -> train ->

@@ -126,6 +126,47 @@ def test_preload_item_mutation_does_not_corrupt_cache(traj_dir):
         np.testing.assert_array_equal(np.asarray(a), b)
 
 
+def test_preload_handles_extra_action_and_path_entries(tmp_path, rng):
+    """Actions / State Paths may legally be LONGER than RTG (e.g. a
+    recorder that stores the terminal state): traj_len is len(RTG), and
+    the pad branch must truncate to it exactly like the streaming path."""
+    h5_path = tmp_path / "states.h5"
+    data_dir = tmp_path / "trajs"
+    os.makedirs(data_dir)
+    length, extra = 4, 2  # 4 RTG entries, 6 actions/paths
+    with h5py.File(h5_path, "w") as f:
+        paths = []
+        for t in range(length + extra):
+            key = f"traj0/state{t}"
+            f.create_dataset(key, data=rng.integers(
+                0, 256, (16, 16)).astype(np.uint8))
+            paths.append("0123456789" + key)
+        traj = {
+            "RTG": list(np.linspace(5, 0, length)),
+            "Actions": {k: list(rng.uniform(0, 1, length + extra))
+                        for k in ("T", "sigma_d", "mu")},
+            "State Paths": paths,
+            "Task": "4x_10",
+        }
+        with open(data_dir / "traj_0.json", "w") as jf:
+            json.dump(traj, jf)
+    stream = _make_ds((str(data_dir), str(h5_path)), False)
+    pre = _make_ds((str(data_dir), str(h5_path)), True)
+    for a, b in zip(stream[0], pre[0]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_native_cache_dir_is_private(tmp_path):
+    from dt4image_restoration_tpu.data import native_loader as nl
+    if not nl.native_available():
+        pytest.skip("no C++ toolchain")
+    d = nl._secure_cache_dir()
+    st = os.stat(d)
+    assert not (st.st_mode & 0o022)  # not group/other writable
+    if hasattr(os, "getuid"):
+        assert st.st_uid == os.getuid()
+
+
 def test_preload_rejects_non_uint8(tmp_path, traj_dir):
     data_dir, h5_path = traj_dir
     with h5py.File(h5_path, "r+") as f:

@@ -316,3 +316,24 @@ def test_pipeline_depth_validation():
         RestorationService(denoise=stub_denoise, cfg=CFG,
                            dt_apply=dt_apply, dt_params=None,
                            mode="mcts", pipeline_depth=2)
+
+
+def test_cancelled_future_does_not_poison_batchmates():
+    """A client cancel() on one request mid-batch must not prevent its
+    batchmates' results from landing (futures are never marked running,
+    so cancel() can win; _settle tolerates it)."""
+    svc = RestorationService(denoise=lambda img, sig: jnp.clip(img, 0, 1),
+                             mode="fixed", batch_size=4, max_timesteps=5,
+                             pipeline_depth=2)
+    try:
+        for _ in range(3):  # repeat: the cancel races batch collection
+            futs = [svc.submit(r) for r in _requests(4)]
+            futs[1].cancel()
+            for i, f in enumerate(futs):
+                if f.cancelled():
+                    continue
+                res = f.result(timeout=120)  # must be a RESULT, never
+                res_img = res.image          # an InvalidStateError
+                assert res_img.shape == (128, 128)
+    finally:
+        svc.close()
