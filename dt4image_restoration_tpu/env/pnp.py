@@ -23,10 +23,11 @@ One ADMM iteration (env.py:85-98):
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Mapping, Tuple
+from typing import Any, Callable, Mapping, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from dt4image_restoration_tpu.ops import fft2c, ifft2c, kspace_consistency, psnr
@@ -75,13 +76,16 @@ DenoiseFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
 # (B, H, W, 1) image, (B,) sigma -> (B, H, W, 1) denoised
 
 
-def reset_from_mat(mat: Mapping[str, Any], image_size: int = 128
+def reset_from_mat(mat: Mapping[str, Any], image_size: Optional[int] = None
                    ) -> CSMRIState:
     """Build the initial state from a .mat record dict with keys
     x0, y0 (.., H, W, 2 real/imag), mask (.., H, W), gt (.., H, W)
     (reference env.py:57-71; ``ATy0`` is carried but unused by the loop, so
-    it is dropped here). Any leading batch dims collapse into one."""
-    s = image_size
+    it is dropped here). Any leading batch dims collapse into one.
+    ``image_size`` defaults to the record's own (square) geometry, read
+    from the mask's trailing axis — the reference hardcodes 128."""
+    s = int(image_size) if image_size else int(
+        np.asarray(mat["mask"]).shape[-1])
 
     def ri(arr):
         return jnp.asarray(arr, jnp.float32).reshape(-1, 1, s, s, 2)
@@ -186,7 +190,7 @@ class PnPEnv:
     denoiser_apply: Callable
     denoiser_params: Any
     max_episode_step: int = 30
-    image_size: int = 128
+    image_size: Optional[int] = None  # None = infer from each record
 
     def denoise(self, img: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
         return self.denoiser_apply({"params": self.denoiser_params}, img,

@@ -19,6 +19,7 @@ from __future__ import annotations
 import dataclasses
 import queue
 import threading
+import time
 from concurrent.futures import Future, InvalidStateError
 from typing import Any, Callable, Mapping, Optional
 
@@ -176,6 +177,11 @@ class RestorationService:
 
             self._program = jax.jit(run_fixed)
 
+        self._stats_lock = threading.Lock()
+        self._stats = {"submitted": 0, "completed": 0, "failed": 0,
+                       "cancelled": 0, "batches": 0, "padded_slots": 0,
+                       "latency_sum_ms": 0.0, "latency_max_ms": 0.0}
+
         self._resolve_q: Optional["queue.Queue"] = None
         self._resolver: Optional[threading.Thread] = None
         if pipeline_depth > 1:
@@ -199,13 +205,28 @@ class RestorationService:
             if self._stop.is_set():
                 raise RuntimeError("RestorationService is closed")
             fut: Future = Future()
-            self._queue.put((request, fut))
+            self._queue.put((request, fut, time.monotonic()))
+        with self._stats_lock:
+            self._stats["submitted"] += 1
         return fut
 
     def restore(self, requests) -> list:
         """Blocking convenience: restore a list of requests."""
         futs = [self.submit(r) for r in requests]
         return [f.result() for f in futs]
+
+    def stats(self) -> dict:
+        """Service counters for observability: requests
+        submitted/completed/failed/cancelled, batches dispatched, padding
+        overhead, submit->resolve latency aggregates, and current queue
+        depth. Thread-safe snapshot."""
+        with self._stats_lock:
+            out = dict(self._stats)
+        done = out["completed"]
+        out["latency_mean_ms"] = (out.pop("latency_sum_ms") / done
+                                  if done else 0.0)
+        out["queue_depth"] = self._queue.qsize()
+        return out
 
     def close(self) -> None:
         with self._submit_lock:
@@ -222,10 +243,12 @@ class RestorationService:
         # Cancel anything still queued so callers don't block forever.
         while True:
             try:
-                _, fut = self._queue.get_nowait()
+                _, fut, _ = self._queue.get_nowait()
             except queue.Empty:
                 break
-            fut.cancel()
+            if fut.cancel():
+                with self._stats_lock:
+                    self._stats["cancelled"] += 1
 
     # -- dispatcher ---------------------------------------------------------
     def _collect(self):
@@ -252,20 +275,18 @@ class RestorationService:
                 # overlaps this batch's device execution + fetch.
                 try:
                     handle = self._dispatch_batch(
-                        [req for req, _ in items])
+                        [req for req, _, _ in items])
                 except Exception as exc:
-                    for _, fut in items:
-                        _settle(fut, exc=exc)
+                    self._settle_batch(items, exc=exc)
                 else:
                     self._resolve_q.put((items, handle))
                 continue
             try:
-                results = self._run_batch([req for req, _ in items])
-                for (_, fut), res in zip(items, results):
-                    _settle(fut, res)
+                results = self._run_batch([req for req, _, _ in items])
             except Exception as exc:  # pragma: no cover - defensive
-                for _, fut in items:
-                    _settle(fut, exc=exc)
+                self._settle_batch(items, exc=exc)
+            else:
+                self._settle_batch(items, results)
         if self._resolve_q is not None:
             self._resolve_q.put(None)  # drain sentinel for close()
 
@@ -277,11 +298,33 @@ class RestorationService:
             items, handle = entry
             try:
                 results = self._finalize_batch(handle)
-                for (_, fut), res in zip(items, results):
-                    _settle(fut, res)
             except Exception as exc:
-                for _, fut in items:
-                    _settle(fut, exc=exc)
+                self._settle_batch(items, exc=exc)
+            else:
+                self._settle_batch(items, results)
+
+    def _settle_batch(self, items, results=None, exc=None) -> None:
+        """Resolve one batch's futures and update the counters."""
+        now = time.monotonic()
+        with self._stats_lock:
+            self._stats["batches"] += 1
+            self._stats["padded_slots"] += self.batch_size - len(items)
+        for i, (_, fut, t0) in enumerate(items):
+            if exc is not None:
+                _settle(fut, exc=exc)
+            else:
+                _settle(fut, results[i])
+            lat_ms = 1e3 * (now - t0)
+            with self._stats_lock:
+                if fut.cancelled():
+                    self._stats["cancelled"] += 1
+                elif exc is not None:
+                    self._stats["failed"] += 1
+                else:
+                    self._stats["completed"] += 1
+                    self._stats["latency_sum_ms"] += lat_ms
+                    self._stats["latency_max_ms"] = max(
+                        self._stats["latency_max_ms"], lat_ms)
 
     def _run_batch(self, requests) -> list:
         if self.mode == "mcts":

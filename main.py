@@ -380,6 +380,14 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> None:
+    # Persistent XLA compile cache: the CLI's programs are few and large
+    # (whole-rollout scans, the device search), so repeat invocations are
+    # recompile-dominated (15-50 s) without it. Respects an existing
+    # JAX_COMPILATION_CACHE_DIR; opt out with DT4IR_NO_COMPILE_CACHE=1.
+    if not os.environ.get("DT4IR_NO_COMPILE_CACHE"):
+        from dt4image_restoration_tpu.utils.compile_cache import (
+            enable_persistent_cache)
+        enable_persistent_cache()
     args = build_parser().parse_args(argv)
     from dt4image_restoration_tpu.training.sharding import (
         maybe_initialize_distributed)

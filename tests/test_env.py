@@ -131,3 +131,17 @@ def test_rollout_jit_and_eager_agree():
     jit_final, _ = jax.jit(f)(state)
     np.testing.assert_allclose(np.asarray(eager_final.x),
                                np.asarray(jit_final.x), rtol=1e-4, atol=1e-5)
+
+
+def test_reset_from_mat_infers_record_geometry():
+    """reset_from_mat defaults to the record's own (square) size — the
+    reference env hardcodes 128 (env.py:57-71); non-128 slices run the
+    same ADMM loop end to end (fixed-parameter path)."""
+    from dt4image_restoration_tpu.env.pnp import fixed_param_rollout
+    mat = make_mat_record(size=64, seed=3)
+    state = reset_from_mat(mat)
+    assert state.x.shape == (1, 1, 64, 64, 2)
+    final, _ = fixed_param_rollout(
+        lambda img, sig: jnp.clip(img, 0, 1), state, 0.5, 15 / 255.0, 3)
+    assert final.x.shape == (1, 1, 64, 64, 2)
+    assert np.isfinite(np.asarray(final.x)).all()

@@ -337,3 +337,51 @@ def test_cancelled_future_does_not_poison_batchmates():
                 assert res_img.shape == (128, 128)
     finally:
         svc.close()
+
+
+def test_service_stats_counters():
+    svc = RestorationService(denoise=lambda img, sig: jnp.clip(img, 0, 1),
+                             mode="fixed", batch_size=4, max_timesteps=5)
+    try:
+        svc.restore(_requests(6))  # one full batch + one padded (2 live)
+        st = svc.stats()
+    finally:
+        svc.close()
+    assert st["submitted"] == 6 and st["completed"] == 6
+    assert st["failed"] == 0 and st["cancelled"] == 0
+    assert st["batches"] == 2 and st["padded_slots"] == 2
+    assert st["latency_mean_ms"] > 0
+    assert st["latency_max_ms"] >= st["latency_mean_ms"]
+    assert st["queue_depth"] == 0
+
+
+def test_pipelined_soak_with_random_cancels():
+    """Sustained pipelined load with client cancels sprinkled in: every
+    future settles (result or cancelled), counters reconcile, no
+    deadlock. Small records keep the device work cheap."""
+    import random
+    rng = random.Random(0)
+    # 32x32 records: fixed mode has no policy encoder, and reset_from_mat
+    # infers the geometry from the record (the reference hardcodes 128).
+    recs = [RestorationRequest(mat=make_mat_record(size=32, seed=i),
+                               rtg=0.6, task=2) for i in range(8)]
+    svc = RestorationService(denoise=lambda img, sig: jnp.clip(img, 0, 1),
+                             mode="fixed", batch_size=4, max_timesteps=3,
+                             pipeline_depth=3)
+    futs = []
+    try:
+        for i in range(120):
+            f = svc.submit(recs[i % len(recs)])
+            futs.append(f)
+            if rng.random() < 0.15:
+                f.cancel()
+        results = [f.result(timeout=300) for f in futs
+                   if not f.cancelled()]
+    finally:
+        svc.close()
+    assert all(r.image.shape == (32, 32) for r in results)
+    st = svc.stats()
+    assert st["submitted"] == 120
+    assert st["completed"] + st["cancelled"] == 120
+    assert st["failed"] == 0
+    assert st["completed"] == len(results)
