@@ -28,6 +28,7 @@ SIGMA_D = 15.0 / 255.0
 BATCH = 16
 SCALING_BATCHES = (64, 128, 256)
 KNEE_REP_BUDGET = 512   # slices dispatched per knee variant (reps = /b)
+PALLAS_KNEE_BATCH = 128  # knee point where the fused-Pallas variant is A/B'd
 SINGLE_REPEATS = 20
 BATCH_REPEATS = 10
 IMAGE_SEED = 0
@@ -149,13 +150,49 @@ def main() -> None:
                            repeats=SINGLE_REPEATS)
     t_packed = _throughput(lambda: roll_packed(state1), fetch,
                            repeats=SINGLE_REPEATS)
-    # Adopt the faster exact variant for the headline; both are recorded.
-    use_packed = t_packed < t_direct
-    roll_f32 = roll_packed if use_packed else roll_direct
-    t_single = min(t_packed, t_direct)
-    iters_per_sec = N_ITERS / t_single
-    psnr_jax = fetch(roll_f32(state1))
+    psnr_direct = fetch(roll_direct(state1))
     _mark("single-slice A/B (compile+20 reps x2)")
+
+    # --- fused-Pallas whole-block variant (guarded adopt-or-reject) -------
+    # ops/pallas/conv_block.py runs the 128^2 stages (inc, up4) as single
+    # fused kernels with VMEM-resident intermediates. Built during the
+    # 2026-08-18 tunnel outage, it may execute on real TPU hardware for
+    # the FIRST time here — so compile/run under a guard (a kernel failure
+    # must not cost the round's bench artifact) and gate adoption on PSNR
+    # parity with the direct path (a silently-wrong kernel must not win
+    # the headline).
+    model_pallas = UNetDenoiser(packed="pallas")
+
+    def denoise_pallas(img, sigma):
+        return model_pallas.apply({"params": params}, img, sigma)
+
+    roll_pallas = make_roll(denoise_pallas)
+    t_pallas = float("inf")
+    pallas_psnr_delta = float("nan")
+    pallas_ok = False
+    try:
+        t_pallas = _throughput(lambda: roll_pallas(state1), fetch,
+                               repeats=SINGLE_REPEATS)
+        pallas_psnr_delta = abs(fetch(roll_pallas(state1)) - psnr_direct)
+        pallas_ok = bool(pallas_psnr_delta < 0.01)
+        if not pallas_ok:
+            print(f"[bench] pallas conv variant REJECTED: PSNR delta "
+                  f"{pallas_psnr_delta:.4f} dB vs direct", file=sys.stderr)
+    except Exception as e:  # pragma: no cover — hardware-dependent
+        print(f"[bench] pallas conv variant failed: {e!r}", file=sys.stderr)
+    _mark("pallas single-slice")
+
+    # Adopt the fastest exact variant for the headline; all are recorded.
+    t_variants = {"direct": t_direct, "packed": t_packed}
+    if pallas_ok:
+        t_variants["pallas"] = t_pallas
+    unet_variant = min(t_variants, key=t_variants.get)
+    roll_f32 = {"direct": roll_direct, "packed": roll_packed,
+                "pallas": roll_pallas}[unet_variant]
+    t_single = t_variants[unet_variant]
+    iters_per_sec = N_ITERS / t_single
+    psnr_jax = (psnr_direct if unet_variant == "direct"
+                else fetch(roll_f32(state1)))
 
     # --- batched rollout (slices/sec) ------------------------------------
     mats = [make_mat_record(seed=s) for s in range(BATCH)]
@@ -188,8 +225,17 @@ def main() -> None:
                           warmup=1)
         t_16 = _throughput(lambda: roll_bf16_knee(state_b), fetch,
                            repeats=reps, warmup=1)
-        scaling[f"batched_slices_per_sec_b{b}"] = round(
-            b / min(t_d, t_p, t_16), 2)
+        t_best = min(t_d, t_p, t_16)
+        if pallas_ok and b == PALLAS_KNEE_BATCH:
+            try:
+                t_pl = _throughput(lambda: roll_pallas(state_b), fetch,
+                                   repeats=reps, warmup=1)
+                scaling[f"pallas_slices_per_sec_b{b}"] = round(b / t_pl, 2)
+                t_best = min(t_best, t_pl)
+            except Exception as e:  # pragma: no cover — hw-dependent
+                print(f"[bench] pallas knee b={b} failed: {e!r}",
+                      file=sys.stderr)
+        scaling[f"batched_slices_per_sec_b{b}"] = round(b / t_best, 2)
         scaling[f"direct_slices_per_sec_b{b}"] = round(b / t_d, 2)
         scaling[f"packed_slices_per_sec_b{b}"] = round(b / t_p, 2)
         scaling[f"bf16_slices_per_sec_b{b}"] = round(b / t_16, 2)
@@ -227,9 +273,16 @@ def main() -> None:
             "device": str(jax.devices()[0]),
             "tpu_unreachable": tpu_unreachable,
             "single_slice_ms_per_iter": round(1e3 * t_single / N_ITERS, 3),
-            "unet_packed_adopted": bool(use_packed),
+            "unet_variant_adopted": unet_variant,
+            "unet_packed_adopted": unet_variant == "packed",
             "direct_iters_per_sec": round(N_ITERS / t_direct, 2),
             "packed_iters_per_sec": round(N_ITERS / t_packed, 2),
+            "pallas_ok": pallas_ok,
+            "pallas_iters_per_sec": (round(N_ITERS / t_pallas, 2)
+                                     if t_pallas != float("inf") else None),
+            "pallas_psnr_delta_db": (round(pallas_psnr_delta, 4)
+                                     if pallas_psnr_delta ==
+                                     pallas_psnr_delta else None),
             "direct_batched_slices_per_sec": round(
                 BATCH / t_batch_direct, 2),
             "packed_batched_slices_per_sec": round(

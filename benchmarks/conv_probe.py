@@ -155,6 +155,66 @@ def main() -> None:
                 "dense_x": results[f"{key}_s2ddense_speedup"]}}),
                 file=sys.stderr)
 
+    # --- fused Pallas whole-block kernel on the REAL 128^2 blocks ---------
+    # increal: 2-channel image+sigma input, 3 layers of 32 features;
+    # up4real: the decoder's 96-channel concat input (row-tiled).
+    # ops/pallas/conv_block.py keeps inter-layer intermediates in VMEM
+    # instead of XLA's per-conv HBM round trips.
+    from dt4image_restoration_tpu.ops.pallas import fused_conv_block
+
+    for dt_name, dt, (cin, cout, h, key_base) in (
+            ("f32", jnp.float32, (2, 32, 128, "increal")),
+            ("bf16", jnp.bfloat16, (2, 32, 128, "increal")),
+            ("f32", jnp.float32, (96, 32, 128, "up4real")),
+            ("bf16", jnp.bfloat16, (96, 32, 128, "up4real"))):
+        x = jnp.asarray(rng.standard_normal((B, h, h, cin)), dt)
+        ws = [jnp.asarray(0.05 * rng.standard_normal(
+            (3, 3, cin if i == 0 else cout, cout)), dt) for i in range(3)]
+        bs = [jnp.asarray(0.05 * rng.standard_normal((cout,)), dt)
+              for _ in range(3)]
+        wsd = [jnp.asarray(pack_w_dense(w), dt) for w in ws]
+
+        def direct3(x, feedback=0.0):
+            y = x + jnp.asarray(feedback, x.dtype)
+            for w, b in zip(ws, bs):
+                y = jax.nn.leaky_relu(conv(y, w, "SAME") + b, 0.2)
+            return y
+
+        def dense3(x, feedback=0.0):
+            y = s2d_plain(x + jnp.asarray(feedback, x.dtype))
+            from dt4image_restoration_tpu.ops.image import pack_conv_bias
+            for w, b in zip(wsd, bs):
+                y = jax.nn.leaky_relu(
+                    conv(y, w, "SAME") + jnp.asarray(pack_conv_bias(b), dt),
+                    0.2)
+            return d2s(y)
+
+        def pallas3(x, feedback=0.0):
+            return fused_conv_block(x + jnp.asarray(feedback, x.dtype),
+                                    ws, bs)
+
+        np.testing.assert_allclose(
+            np.asarray(pallas3(x), np.float32),
+            np.asarray(direct3(x), np.float32),
+            rtol=(1e-4 if dt_name == "f32" else 0.1),
+            atol=(1e-4 if dt_name == "f32" else 0.05))
+        t_dir = time_fn(direct3, x)
+        t_dense = time_fn(dense3, x)
+        t_pal = time_fn(pallas3, x)
+        flops = 2 * B * h * h * 9 * (cin * cout + 2 * cout * cout)
+        key = f"{key_base}_{dt_name}"
+        results[f"{key}_direct_us"] = round(t_dir * 1e6, 1)
+        results[f"{key}_direct_tf"] = round(flops / t_dir / 1e12, 1)
+        results[f"{key}_s2ddense_us"] = round(t_dense * 1e6, 1)
+        results[f"{key}_s2ddense_speedup"] = round(t_dir / t_dense, 2)
+        results[f"{key}_pallas_us"] = round(t_pal * 1e6, 1)
+        results[f"{key}_pallas_speedup"] = round(t_dir / t_pal, 2)
+        print(json.dumps({key: {
+            "direct_us": results[f"{key}_direct_us"],
+            "dense_x": results[f"{key}_s2ddense_speedup"],
+            "pallas_x": results[f"{key}_pallas_speedup"]}}),
+            file=sys.stderr)
+
     print(json.dumps(results))
 
 

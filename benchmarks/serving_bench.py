@@ -129,6 +129,14 @@ def main() -> None:
         wall = time.perf_counter() - t0
         results["serving_policy_pipelined_requests_per_sec"] = round(
             POLICY_LOAD / wall, 2)
+        st = svc.stats()  # service-side observability counters
+        results["serving_policy_padded_slot_pct"] = round(
+            100.0 * st["padded_slots"]
+            / (st["batches"] * svc.batch_size), 1)
+        results["serving_policy_latency_mean_ms"] = round(
+            st["latency_mean_ms"], 1)
+        results["serving_policy_latency_max_ms"] = round(
+            st["latency_max_ms"], 1)
     finally:
         svc.close()
 

@@ -24,6 +24,7 @@ import jax
 from dt4image_restoration_tpu.ops.image import (
     bilinear_upsample_2x, depth_to_space, pack_conv_bias, pack_conv_weights,
     repad_cells, space_to_depth, space_to_depth_shifted)
+from dt4image_restoration_tpu.ops.pallas import conv_block as pallas_conv
 
 
 class _ConvParams(nn.Module):
@@ -49,18 +50,36 @@ class ConvBlock(nn.Module):
     MXU-lane-starved high-resolution stages (ops/image.py; measured 2.2x
     on the 128^2 32-channel block): 'dense' = SAME 3x3 cell conv per
     layer, 'shift' = VALID 2x2 cell conv with in-domain repad between
-    layers. Mathematically exact up to float reassociation; falls back to
-    direct when the spatial dims are odd (pad-to-match layouts)."""
+    layers, 'pallas' = the whole block as ONE Pallas kernel in the dense
+    cell domain with all inter-layer intermediates in VMEM, row-tiled to
+    the VMEM budget (ops/pallas/conv_block.py). Mathematically exact up
+    to float reassociation; falls back to direct when the spatial dims
+    are odd (pad-to-match layouts)."""
     features: int
     num_layer: int = 3
     dtype: Any = jnp.float32
-    packed: Any = None  # None | 'dense' | 'shift'
+    packed: Any = None  # None | 'dense' | 'shift' | 'pallas'
 
     @nn.compact
     def __call__(self, x):
         packed = self.packed
         if packed and (x.shape[-3] % 2 or x.shape[-2] % 2):
             packed = None
+        if packed == "pallas" and not pallas_conv.supports(
+                x.shape, x.shape[-1]):
+            packed = "dense"
+        if packed == "pallas":
+            cin = x.shape[-1]
+            ks, bs = [], []
+            for i in range(self.num_layer):
+                k, bias = _ConvParams(self.features, name=f"conv{i}")(cin)
+                ks.append(k)
+                bs.append(bias)
+                cin = self.features
+            return pallas_conv.fused_conv_block(
+                jnp.asarray(x, self.dtype),
+                [jnp.asarray(k, self.dtype) for k in ks],
+                [jnp.asarray(bias, self.dtype) for bias in bs])
         if not packed:
             for i in range(self.num_layer):
                 x = nn.Conv(self.features, (3, 3), padding=1,
@@ -111,20 +130,26 @@ class UNet(nn.Module):
     benchmarks/conv_probe.py: 'dense' on inc (2.22x f32 / 1.22x bf16),
     'shift' on up4 (1.22x, f32 only — bf16 loses there so up4 stays
     direct under bf16). The 64^2+ stages already run at 60-70 TF/s and
-    are left direct. Same parameter tree either way.
+    are left direct. ``packed="pallas"`` runs BOTH 128^2 stages (inc,
+    up4) as fused single-kernel Pallas blocks (ops/pallas/conv_block.py,
+    row-tiled to the VMEM budget). Same parameter tree in every mode.
     """
     out_channels: int = 1
     base_channels: int = 32
     dtype: Any = jnp.float32
-    packed: bool = False
+    packed: Any = False  # False | True | 'pallas'
 
     @nn.compact
     def __call__(self, x):
         noisy = x
         c = self.base_channels
-        inc_packed = "dense" if self.packed else None
-        up4_packed = "shift" if (
-            self.packed and self.dtype == jnp.float32) else None
+        inc_packed = ("pallas" if self.packed == "pallas"
+                      else "dense" if self.packed else None)
+        if self.packed == "pallas":
+            up4_packed = "pallas"
+        else:
+            up4_packed = "shift" if (
+                self.packed and self.dtype == jnp.float32) else None
         x1 = ConvBlock(c, dtype=self.dtype, packed=inc_packed,
                        name="inc")(x)
         x2 = ConvBlock(2 * c, dtype=self.dtype, name="down1")(
@@ -157,10 +182,11 @@ class UNetDenoiser(nn.Module):
 
     Input ``x`` is NHWC (B, H, W, 1); ``sigma`` is scalar or (B,).
     ``packed`` enables the space-to-depth shallow-stage execution (see
-    :class:`UNet`).
+    :class:`UNet`); ``packed="pallas"`` uses the fused single-kernel
+    Pallas block on inc.
     """
     dtype: Any = jnp.float32
-    packed: bool = False
+    packed: Any = False
 
     @nn.compact
     def __call__(self, x, sigma):

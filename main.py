@@ -41,13 +41,18 @@ EVAL_DIRS_6 = EVAL_DIRS_9[:6]
 FLEX_RTGS = [1.5, 3, 3.5, 4, 4.5]  # main.py:198
 
 
-def _load_denoiser(path: str, dtype: str = "float32"):
+def _load_denoiser(path: str, dtype: str = "float32",
+                   packed: str = "none"):
     import jax.numpy as jnp
     from dt4image_restoration_tpu.models import UNetDenoiser
     from dt4image_restoration_tpu.utils.checkpoint import (
         load_unet_checkpoint, restore_checkpoint)
+    # 'none' = the exact direct path; 's2d' = space-to-depth packed 128^2
+    # stages (XLA); 'pallas' = fused whole-block Pallas kernels on them.
+    # All three run the SAME parameter tree (PARITY.md D14).
     model = UNetDenoiser(
-        dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32)
+        dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
+        packed={"none": False, "s2d": True, "pallas": "pallas"}[packed])
     if os.path.isdir(path):
         params = restore_checkpoint(path)
     elif os.path.exists(path):
@@ -166,7 +171,8 @@ def _make_evaluator(args, mode: str, ckpt: str, rtg_target, eval_type):
     cfg = ModelConfig(block_size=args.block_size, n_embeds=args.n_embeds,
                       mode=mode, dtype=args.dtype)
     dt_apply, dt_params = _load_dt(cfg, ckpt)
-    denoise = _load_denoiser(args.denoiser_ckpt, args.dtype)
+    denoise = _load_denoiser(args.denoiser_ckpt, args.dtype,
+                             getattr(args, "unet_packed", "none"))
     return Evaluator(dt_apply=dt_apply, dt_params=dt_params,
                      denoise=denoise, cfg=cfg,
                      max_timesteps=args.max_timesteps or 30,
@@ -209,7 +215,8 @@ def cmd_flex(args) -> None:
     cfg = ModelConfig(block_size=args.block_size, n_embeds=args.n_embeds,
                       mode="flex", dtype=args.dtype)
     dt_apply, dt_params = _load_dt(cfg, args.checkpoint)
-    denoise = _load_denoiser(args.denoiser_ckpt, args.dtype)
+    denoise = _load_denoiser(args.denoiser_ckpt, args.dtype,
+                             getattr(args, "unet_packed", "none"))
     for rtg in FLEX_RTGS:
         evaluator = Evaluator(
             dt_apply=dt_apply, dt_params=dt_params, denoise=denoise,
@@ -234,7 +241,8 @@ def cmd_mcts(args) -> None:
     cfg = ModelConfig(block_size=args.block_size, n_embeds=args.n_embeds,
                       mode="norm", dtype=args.dtype)
     dt_apply, dt_params = _load_dt(cfg, args.checkpoint)
-    denoise = _load_denoiser(args.denoiser_ckpt, args.dtype)
+    denoise = _load_denoiser(args.denoiser_ckpt, args.dtype,
+                             getattr(args, "unet_packed", "none"))
 
     value_fn_jax = None
     if args.arniqa_ckpt and os.path.exists(args.arniqa_ckpt):
@@ -354,6 +362,14 @@ def build_parser() -> argparse.ArgumentParser:
                        help="compute dtype for the DT, denoiser, and "
                             "value model (the reference's autocast policy, "
                             "main.py:37-40, env.py:52)")
+        s.add_argument("--unet_packed", default="none",
+                       choices=["none", "s2d", "pallas"],
+                       help="U-Net execution for the lane-starved 128^2 "
+                            "stages: 'none' = exact direct convs, 's2d' = "
+                            "space-to-depth packed (XLA), 'pallas' = fused "
+                            "whole-block kernels. Same checkpoint tree; "
+                            "exact up to float reassociation (PARITY.md "
+                            "D14, benchmarks/conv_probe.py)")
         if name == "mcts":
             s.add_argument("--seed", type=int, default=0)
             s.add_argument("--arniqa_ckpt", default=None)

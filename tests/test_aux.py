@@ -273,6 +273,7 @@ def test_headline_bench_smoke(monkeypatch, capsys):
     monkeypatch.setattr(bench, "KNEE_REP_BUDGET", 8)
     monkeypatch.setattr(bench, "SINGLE_REPEATS", 2)
     monkeypatch.setattr(bench, "BATCH_REPEATS", 2)
+    monkeypatch.setattr(bench, "PALLAS_KNEE_BATCH", 4)  # cover the knee A/B
     bench.main()
     r = json_mod.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert r["metric"] == "pnp_admm_iters_per_sec_per_chip"
@@ -280,8 +281,14 @@ def test_headline_bench_smoke(monkeypatch, capsys):
     e = r["extras"]
     for k in ("psnr_parity_delta_db", "psnr_bf16_delta_db",
               "batched_slices_per_sec_b4", "bf16_slices_per_sec_b4",
-              "unet_packed_adopted"):
+              "unet_packed_adopted", "unet_variant_adopted"):
         assert k in e
+    # The fused-Pallas candidate must run (interpret mode on CPU), pass
+    # the parity gate, and report its knee-point throughput.
+    assert e["pallas_ok"] is True
+    assert e["pallas_psnr_delta_db"] < 0.01
+    assert e["pallas_iters_per_sec"] > 0
+    assert e["pallas_slices_per_sec_b4"] > 0
     # Under the suite's forced-CPU env the tunnel probe is skipped.
     assert e["tpu_unreachable"] is False
     # PSNR parity must hold at toy sizes too (identical weights/data).
