@@ -193,16 +193,25 @@ def main() -> None:
             return fused_conv_block(x + jnp.asarray(feedback, x.dtype),
                                     ws, bs)
 
-        np.testing.assert_allclose(
-            np.asarray(pallas3(x), np.float32),
-            np.asarray(direct3(x), np.float32),
-            rtol=(1e-4 if dt_name == "f32" else 0.1),
-            atol=(1e-4 if dt_name == "f32" else 0.05))
+        key = f"{key_base}_{dt_name}"
+        # First-ever Mosaic compile of this kernel may happen right here
+        # (interpret tests cover CPU only) — a per-config guard keeps one
+        # failing shape/dtype from losing the whole probe's JSON line.
+        try:
+            np.testing.assert_allclose(
+                np.asarray(pallas3(x), np.float32),
+                np.asarray(direct3(x), np.float32),
+                rtol=(1e-4 if dt_name == "f32" else 0.1),
+                atol=(1e-4 if dt_name == "f32" else 0.05))
+            t_pal = time_fn(pallas3, x)
+        except Exception as e:
+            results[f"{key}_pallas_error"] = repr(e)[:200]
+            print(json.dumps({key: {"pallas_error": repr(e)[:200]}}),
+                  file=sys.stderr)
+            continue
         t_dir = time_fn(direct3, x)
         t_dense = time_fn(dense3, x)
-        t_pal = time_fn(pallas3, x)
         flops = 2 * B * h * h * 9 * (cin * cout + 2 * cout * cout)
-        key = f"{key_base}_{dt_name}"
         results[f"{key}_direct_us"] = round(t_dir * 1e6, 1)
         results[f"{key}_direct_tf"] = round(flops / t_dir / 1e12, 1)
         results[f"{key}_s2ddense_us"] = round(t_dense * 1e6, 1)
