@@ -115,8 +115,13 @@ class TrainingDataset:
             rtg = np.asarray(traj["RTG"], np.float32)
             if self.normalize_rtg:
                 rtg = minmax_normalize(rtg, self.min_rtg, self.max_rtg)
+            # Per-key truncation to len(RTG) BEFORE stacking: action lists
+            # may legally be longer than RTG and even ragged across keys —
+            # the streaming path never reads past traj_len of any key, so
+            # neither may the preload (ragged full-length stacking raised).
             actions = np.stack(
-                [np.asarray(traj["Actions"][k], np.float32)
+                [np.asarray(traj["Actions"][k][:len(traj["RTG"])],
+                            np.float32)
                  for k in ACTION_KEYS_JSON], axis=1)
             rows = np.empty(len(traj["State Paths"]), np.int64)
             for i, p in enumerate(traj["State Paths"]):

@@ -450,10 +450,10 @@ class Evaluator:
             # process's data-axis share, evaluate the local slice, and
             # reassemble the global metric rows (padded order == original
             # order followed by the wrap rows, which are dropped).
+            from dt4image_restoration_tpu.training.sharding import (
+                padded_per_process)
             n_global = len(records)
-            unit = max(1, self.mesh.shape["data"] // n_proc)
-            per_proc = -(-n_global // n_proc)
-            per_proc += (-per_proc) % unit
+            per_proc = padded_per_process(n_global, self.mesh)
             padded = [records[i % n_global] for i in range(n_proc * per_proc)]
             pid = jax.process_index()
             m = self.evaluate_records(

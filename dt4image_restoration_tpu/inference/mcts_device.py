@@ -321,8 +321,12 @@ class DeviceMCTS(MCTS):
                                       verbose=False)
             return out
 
+        from dt4image_restoration_tpu.training.sharding import (
+            padded_per_process)
         n_global = len(pairs)
-        per_proc = self.local_padded_count(-(-n_global // n_proc))
+        if n_global == 0:  # match the single-process branch (no wrap-pad)
+            return []
+        per_proc = padded_per_process(n_global, self.mesh)
         padded = [pairs[i % n_global] for i in range(n_proc * per_proc)]
         pid = jax.process_index()
         local = padded[pid * per_proc:(pid + 1) * per_proc]

@@ -65,9 +65,6 @@ class ConvBlock(nn.Module):
         packed = self.packed
         if packed and (x.shape[-3] % 2 or x.shape[-2] % 2):
             packed = None
-        if packed == "pallas" and not pallas_conv.supports(
-                x.shape, x.shape[-1]):
-            packed = "dense"
         if packed == "pallas":
             cin = x.shape[-1]
             ks, bs = [], []

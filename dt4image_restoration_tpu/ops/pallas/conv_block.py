@@ -47,13 +47,6 @@ from dt4image_restoration_tpu.ops.image import (
 _VMEM_BUDGET_BYTES = 8 * 1024 * 1024
 
 
-def supports(x_shape, cin: int) -> bool:
-    """True when the fused kernel handles this block: even spatial dims
-    (the space-to-depth packing requirement)."""
-    del cin  # row tiling removed the channel-width bound
-    return x_shape[-3] % 2 == 0 and x_shape[-2] % 2 == 0
-
-
 def _pick_tile(h2: int, w2: int, k0: int, n: int, num_layers: int,
                itemsize: int) -> int:
     """Largest divisor of h2 whose tile working set fits the budget:

@@ -92,8 +92,9 @@ class RestorationService:
         resolver thread fetches batch N's outputs (JAX dispatch is
         async, so the device never idles waiting on the host fetch —
         on a high-RTT link the fetch round trip leaves the steady-state
-        path entirely). Bounded to ``pipeline_depth`` in-flight batches
-        (backpressure via a bounded queue). policy/fixed modes only
+        path entirely). Bounded to ``pipeline_depth`` dispatched-but-
+        unfetched batches (backpressure via a permit semaphore taken
+        before dispatch, returned after fetch). policy/fixed modes only
         (the mcts search fetches inside its own program driver).
     """
 
@@ -184,11 +185,16 @@ class RestorationService:
 
         self._resolve_q: Optional["queue.Queue"] = None
         self._resolver: Optional[threading.Thread] = None
+        self._inflight: Optional[threading.Semaphore] = None
         if pipeline_depth > 1:
-            # Bounded: at most pipeline_depth batches in flight (one being
-            # dispatched + depth-1 queued for fetch) — backpressure, not an
-            # unbounded device-buffer pile-up.
-            self._resolve_q = queue.Queue(maxsize=pipeline_depth - 1)
+            # Backpressure: the worker takes a permit BEFORE dispatching
+            # and the resolver returns it after the fetch settles, so at
+            # most pipeline_depth dispatched-but-unfetched batches hold
+            # device output buffers — exactly the documented bound (a
+            # bounded queue alone over-admitted by one: fetched + queued
+            # + one held by a blocked put).
+            self._inflight = threading.Semaphore(pipeline_depth)
+            self._resolve_q = queue.Queue(maxsize=pipeline_depth)
             self._resolver = threading.Thread(target=self._resolve_loop,
                                               daemon=True)
             self._resolver.start()
@@ -223,8 +229,8 @@ class RestorationService:
         with self._stats_lock:
             out = dict(self._stats)
         done = out["completed"]
-        out["latency_mean_ms"] = (out.pop("latency_sum_ms") / done
-                                  if done else 0.0)
+        lat_sum = out.pop("latency_sum_ms")  # always: stable key schema
+        out["latency_mean_ms"] = lat_sum / done if done else 0.0
         out["queue_depth"] = self._queue.qsize()
         return out
 
@@ -272,11 +278,15 @@ class RestorationService:
             if self._resolve_q is not None:
                 # Pipelined: assemble + dispatch here (async), fetch on
                 # the resolver thread, so the next batch's host work
-                # overlaps this batch's device execution + fetch.
+                # overlaps this batch's device execution + fetch. The
+                # permit is returned by the resolver once the batch
+                # settles (or right here if dispatch itself fails).
+                self._inflight.acquire()
                 try:
                     handle = self._dispatch_batch(
                         [req for req, _, _ in items])
                 except Exception as exc:
+                    self._inflight.release()
                     self._settle_batch(items, exc=exc)
                 else:
                     self._resolve_q.put((items, handle))
@@ -297,11 +307,14 @@ class RestorationService:
                 return
             items, handle = entry
             try:
-                results = self._finalize_batch(handle)
-            except Exception as exc:
-                self._settle_batch(items, exc=exc)
-            else:
-                self._settle_batch(items, results)
+                try:
+                    results = self._finalize_batch(handle)
+                except Exception as exc:
+                    self._settle_batch(items, exc=exc)
+                else:
+                    self._settle_batch(items, results)
+            finally:
+                self._inflight.release()
 
     def _settle_batch(self, items, results=None, exc=None) -> None:
         """Resolve one batch's futures and update the counters."""
@@ -387,6 +400,8 @@ class RestorationService:
             from dt4image_restoration_tpu.training.sharding import (
                 shard_eval_inputs)
             env_state = shard_eval_inputs(env_state, self.mesh)
+        else:
+            shard_eval_inputs = None
         if self.mode == "policy":
             # Policy initial observation reads the UNCLIPPED x0, matching
             # the eval dataset path (reference datasets.py:160-164: the clip
@@ -397,8 +412,6 @@ class RestorationService:
             rtg0 = jnp.asarray([r.rtg for r in padded], jnp.float32)
             task = jnp.asarray([r.task for r in padded], jnp.int32)
             if self.mesh is not None:
-                from dt4image_restoration_tpu.training.sharding import (
-                    shard_eval_inputs)
                 policy_x0, rtg0, task = shard_eval_inputs(
                     (policy_x0, rtg0, task), self.mesh)
             images, reward, ep_len = self._program(

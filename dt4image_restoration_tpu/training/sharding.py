@@ -218,15 +218,30 @@ def sync_processes(tag: str = "eval") -> None:
     another is still deep in per-host work (model init, tracing): on a
     timeshared host the poller otherwise starves the straggler into a
     live-lock (observed on the CLI eval path). Cost on a real pod: one
-    sub-millisecond RPC per batched dispatch. No-op single-process."""
+    sub-millisecond RPC per batched dispatch. No-op single-process.
+
+    Barrier names are sequenced by a process-local counter, so the SPMD
+    contract applies: a process that raises between matched dispatches
+    must EXIT (letting the coordination service fail the job), not catch
+    and continue — continuing desyncs the sequence and every later
+    barrier times out. The timeout error below names the barrier and
+    this cause so the hang is diagnosable."""
     if jax.process_count() <= 1:
         return
     from jax._src.distributed import global_state
     if global_state.client is None:  # runtime without a coordination svc
         return
     _SYNC_COUNTER[0] += 1
-    global_state.client.wait_at_barrier(
-        f"dt4ir_{tag}_{_SYNC_COUNTER[0]}", timeout_in_ms=600_000)
+    name = f"dt4ir_{tag}_{_SYNC_COUNTER[0]}"
+    try:
+        global_state.client.wait_at_barrier(name, timeout_in_ms=600_000)
+    except Exception as e:
+        raise RuntimeError(
+            f"multi-process barrier '{name}' failed: {e}. A barrier "
+            f"timeout here usually means another process raised or "
+            f"skipped a dispatch and the per-process barrier sequence "
+            f"desynced — a rank that fails mid-sequence must exit, not "
+            f"catch and continue.") from e
 
 
 def shard_eval_inputs(tree, mesh: Mesh, spec: P = P("data")):
@@ -292,6 +307,21 @@ def local_output_offset(n_local_padded: int,
             f"got {counts.tolist()} (pad every process to the same "
             f"length)")
     return jax.process_index() * n_local_padded
+
+
+def padded_per_process(n_global: int, mesh: Mesh) -> int:
+    """Per-process slice length when a GLOBAL record list is sharded into
+    equal contiguous process slices: ceil(n_global / n_proc), rounded up
+    to this process's share of the mesh data axis (so every local batch
+    shards evenly). The single source of the layout contract between the
+    global-sharding entry points (Evaluator.run, DeviceMCTS.
+    run_global_batches) and the gathered-row reassembly they perform —
+    callers wrap-pad the global list to ``n_proc * padded_per_process``.
+    """
+    n_proc = jax.process_count()
+    per = -(-n_global // n_proc)
+    unit = max(1, mesh.shape["data"] // n_proc)
+    return per + (-per) % unit
 
 
 def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh

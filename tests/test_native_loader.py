@@ -126,25 +126,30 @@ def test_preload_item_mutation_does_not_corrupt_cache(traj_dir):
         np.testing.assert_array_equal(np.asarray(a), b)
 
 
-def test_preload_handles_extra_action_and_path_entries(tmp_path, rng):
+@pytest.mark.parametrize("extras", [(2, 2, 2), (3, 1, 0)],
+                         ids=["uniform-extra", "ragged-extra"])
+def test_preload_handles_extra_action_and_path_entries(tmp_path, rng,
+                                                       extras):
     """Actions / State Paths may legally be LONGER than RTG (e.g. a
-    recorder that stores the terminal state): traj_len is len(RTG), and
-    the pad branch must truncate to it exactly like the streaming path."""
+    recorder that stores the terminal state) — and even RAGGED across
+    action keys: traj_len is len(RTG), and preload must truncate each key
+    to it exactly like the streaming path (full-length np.stack raised
+    ValueError on the ragged case)."""
     h5_path = tmp_path / "states.h5"
     data_dir = tmp_path / "trajs"
     os.makedirs(data_dir)
-    length, extra = 4, 2  # 4 RTG entries, 6 actions/paths
+    length = 4  # RTG entries; actions/paths run longer by `extras`
     with h5py.File(h5_path, "w") as f:
         paths = []
-        for t in range(length + extra):
+        for t in range(length + max(extras)):
             key = f"traj0/state{t}"
             f.create_dataset(key, data=rng.integers(
                 0, 256, (16, 16)).astype(np.uint8))
             paths.append("0123456789" + key)
         traj = {
             "RTG": list(np.linspace(5, 0, length)),
-            "Actions": {k: list(rng.uniform(0, 1, length + extra))
-                        for k in ("T", "sigma_d", "mu")},
+            "Actions": {k: list(rng.uniform(0, 1, length + e))
+                        for k, e in zip(("T", "sigma_d", "mu"), extras)},
             "State Paths": paths,
             "Task": "4x_10",
         }

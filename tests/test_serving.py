@@ -343,10 +343,16 @@ def test_service_stats_counters():
     svc = RestorationService(denoise=lambda img, sig: jnp.clip(img, 0, 1),
                              mode="fixed", batch_size=4, max_timesteps=5)
     try:
+        # Stable schema BEFORE any request completes: the internal
+        # latency_sum_ms accumulator must never leak into the snapshot.
+        st0 = svc.stats()
+        assert "latency_sum_ms" not in st0
+        assert st0["latency_mean_ms"] == 0.0 and st0["completed"] == 0
         svc.restore(_requests(6))  # one full batch + one padded (2 live)
         st = svc.stats()
     finally:
         svc.close()
+    assert set(st0) == set(st)  # same keys empty vs busy
     assert st["submitted"] == 6 and st["completed"] == 6
     assert st["failed"] == 0 and st["cancelled"] == 0
     assert st["batches"] == 2 and st["padded_slots"] == 2
