@@ -56,11 +56,11 @@ def test_cli_eval_smoke(eval_dir, capsys):
     assert "Average reward" in out and "PSNR increment" in out
 
 
-def test_cli_eval_unet_packed_pallas_matches_direct(eval_dir, capsys):
-    """--unet_packed pallas (fused whole-block kernels on the 128^2
-    stages) is an exact rewrite of the direct convs: the printed episode
-    averages must match the default run to reassociation-level tolerance
-    (PARITY.md D14)."""
+def test_cli_eval_unet_packed_matches_direct(eval_dir, capsys):
+    """--unet_packed {s2d, pallas} (space-to-depth packed / fused
+    whole-block kernels on the 128^2 stages) are exact rewrites of the
+    direct convs: the printed episode averages must match the default
+    run to reassociation-level tolerance (PARITY.md D14)."""
     def run(packed):
         cli.main(["--block_size", "18", "--n_embeds", "9", "eval",
                   "--rtg", "10", "--max_timesteps", "6",
@@ -72,9 +72,11 @@ def test_cli_eval_unet_packed_pallas_matches_direct(eval_dir, capsys):
         return [float(line.split()[-1]) for line in out.splitlines()
                 if "Average reward" in line or "PSNR increment" in line]
 
-    base, pall = run("none"), run("pallas")
+    base = run("none")
     assert len(base) == 2
-    np.testing.assert_allclose(pall, base, rtol=1e-4, atol=1e-4)
+    for packed in ("s2d", "pallas"):
+        np.testing.assert_allclose(run(packed), base,
+                                   rtol=1e-4, atol=1e-4)
 
 
 def test_cli_eval_bf16_smoke(eval_dir, capsys):
