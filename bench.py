@@ -29,6 +29,10 @@ BATCH = 16
 SCALING_BATCHES = (64, 128, 256)
 KNEE_REP_BUDGET = 512   # slices dispatched per knee variant (reps = /b)
 PALLAS_KNEE_BATCH = 128  # knee point where the fused-Pallas variant is A/B'd
+PALLAS_KNEE_DEADLINE_S = 420  # skip the knee fused-kernel extras when the
+# run is already this old — two more B=128 compiles must never cost the
+# driver's round-end artifact its timeout (the single-slice pallas A/B and
+# everything before it still complete)
 SINGLE_REPEATS = 20
 BATCH_REPEATS = 10
 IMAGE_SEED = 0
@@ -68,6 +72,7 @@ def main() -> None:
     import os
     import sys
 
+    t_run_start = time.perf_counter()
     env_cpu = os.environ.get("JAX_PLATFORMS", "") == "cpu"
     tpu_unreachable = False
     if not env_cpu and not _tpu_reachable():
@@ -166,7 +171,15 @@ def main() -> None:
     def denoise_pallas(img, sigma):
         return model_pallas.apply({"params": params}, img, sigma)
 
+    model_pallas_bf16 = UNetDenoiser(dtype=jnp.bfloat16, packed="pallas")
+
+    def denoise_pallas_bf16(img, sigma):
+        out = model_pallas_bf16.apply({"params": params},
+                                      img.astype(jnp.bfloat16), sigma)
+        return out.astype(jnp.float32)
+
     roll_pallas = make_roll(denoise_pallas)
+    roll_pallas_bf16 = make_roll(denoise_pallas_bf16)
     t_pallas = float("inf")
     pallas_psnr_delta = float("nan")
     pallas_ok = False
@@ -226,15 +239,24 @@ def main() -> None:
         t_16 = _throughput(lambda: roll_bf16_knee(state_b), fetch,
                            repeats=reps, warmup=1)
         t_best = min(t_d, t_p, t_16)
-        if pallas_ok and b == PALLAS_KNEE_BATCH:
-            try:
-                t_pl = _throughput(lambda: roll_pallas(state_b), fetch,
-                                   repeats=reps, warmup=1)
-                scaling[f"pallas_slices_per_sec_b{b}"] = round(b / t_pl, 2)
-                t_best = min(t_best, t_pl)
-            except Exception as e:  # pragma: no cover — hw-dependent
-                print(f"[bench] pallas knee b={b} failed: {e!r}",
-                      file=sys.stderr)
+        if (pallas_ok and b == PALLAS_KNEE_BATCH
+                and time.perf_counter() - t_run_start
+                < PALLAS_KNEE_DEADLINE_S):
+            # Two fused-kernel candidates at the knee: f32 (exact, same
+            # adoption band as direct/packed) and bf16 compute (the knee's
+            # measured winner is bf16 — quality band covered by the same
+            # psnr_bf16 delta reported below, kernel accumulation is f32).
+            for tag, roll_k in (("pallas", roll_pallas),
+                                ("pallas_bf16", roll_pallas_bf16)):
+                try:
+                    t_pl = _throughput(lambda: roll_k(state_b), fetch,
+                                       repeats=reps, warmup=1)
+                    scaling[f"{tag}_slices_per_sec_b{b}"] = round(
+                        b / t_pl, 2)
+                    t_best = min(t_best, t_pl)
+                except Exception as e:  # pragma: no cover — hw-dependent
+                    print(f"[bench] {tag} knee b={b} failed: {e!r}",
+                          file=sys.stderr)
         scaling[f"batched_slices_per_sec_b{b}"] = round(b / t_best, 2)
         scaling[f"direct_slices_per_sec_b{b}"] = round(b / t_d, 2)
         scaling[f"packed_slices_per_sec_b{b}"] = round(b / t_p, 2)

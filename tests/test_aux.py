@@ -289,10 +289,25 @@ def test_headline_bench_smoke(monkeypatch, capsys):
     assert e["pallas_psnr_delta_db"] < 0.01
     assert e["pallas_iters_per_sec"] > 0
     assert e["pallas_slices_per_sec_b4"] > 0
+    assert e["pallas_bf16_slices_per_sec_b4"] > 0  # bf16 knee candidate
     # Under the suite's forced-CPU env the tunnel probe is skipped.
     assert e["tpu_unreachable"] is False
     # PSNR parity must hold at toy sizes too (identical weights/data).
     assert abs(e["psnr_parity_delta_db"]) < 0.05
+
+    # Phase 2 — deadline-skip wiring: with the knee deadline already
+    # exceeded the B-knee fused extras are skipped but the artifact still
+    # completes with every non-knee key (cheap: all programs are warm
+    # from phase 1).
+    monkeypatch.setattr(bench, "PALLAS_KNEE_DEADLINE_S", -1.0)
+    bench.main()
+    r2 = json_mod.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    e2 = r2["extras"]
+    assert r2["value"] > 0
+    assert "batched_slices_per_sec_b4" in e2
+    assert "pallas_slices_per_sec_b4" not in e2
+    assert "pallas_bf16_slices_per_sec_b4" not in e2
+    assert e2["pallas_ok"] is True  # single-slice A/B is not deadline-gated
 
 
 def test_headline_bench_tunnel_outage_fallback(monkeypatch, capsys):
