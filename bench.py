@@ -56,16 +56,8 @@ def _tpu_reachable(timeout_s: float = PROBE_TIMEOUT_S) -> bool:
     (CLAUDE.md, observed 2026-08-17), which would hang the driver's
     round-end bench run forever. A dead probe -> bounded CPU fallback with
     ``tpu_unreachable`` recorded, instead of no artifact at all."""
-    import subprocess
-    import sys
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; print(jax.devices()[0].platform)"],
-            timeout=timeout_s, capture_output=True, text=True)
-        return r.returncode == 0 and "tpu" in r.stdout
-    except (subprocess.TimeoutExpired, OSError):
-        return False
+    from dt4image_restoration_tpu.utils.tpu_probe import tpu_reachable
+    return tpu_reachable(timeout_s)
 
 
 def main() -> None:

@@ -64,9 +64,13 @@ def main() -> None:
     import jax.numpy as jnp
     from jax import lax
 
+    from dt4image_restoration_tpu.utils.tpu_probe import ensure_live_backend
+    _, tpu_unreachable = ensure_live_backend()
+
     B = int(os.environ.get("PROBE_BATCH", "16"))
     rng = np.random.default_rng(0)
-    results = {"batch": B, "device": str(jax.devices()[0].device_kind)}
+    results = {"batch": B, "device": str(jax.devices()[0].device_kind),
+               "tpu_unreachable": tpu_unreachable}
 
     def conv(x, w, padding):
         return lax.conv_general_dilated(

@@ -21,6 +21,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main() -> None:
     import jax
 
+    from dt4image_restoration_tpu.utils.tpu_probe import ensure_live_backend
+    _, tpu_unreachable = ensure_live_backend()
+
     from dt4image_restoration_tpu.config import MCTSConfig, ModelConfig
     from dt4image_restoration_tpu.data import make_mat_record
     from dt4image_restoration_tpu.inference import Evaluator
@@ -34,7 +37,8 @@ def main() -> None:
     from dt4image_restoration_tpu.utils.torch_reference import (
         random_unet_state_dict)
 
-    results = {"platform": jax.devices()[0].platform}
+    results = {"platform": jax.devices()[0].platform,
+               "tpu_unreachable": tpu_unreachable}
 
     den_params = convert_unet_state_dict(random_unet_state_dict(0))
     den_model = UNetDenoiser()

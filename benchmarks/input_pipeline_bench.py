@@ -70,11 +70,12 @@ def build_corpus(root: str, rng: np.random.Generator):
 
 def main() -> None:
     import jax
-    if "--cpu" in sys.argv:
-        # Tunnel-free control: on CPU the H2D transfer is memcpy-cheap,
-        # so overlap_efficiency isolates how well background_batches
-        # hides input assembly behind (slower) device compute.
-        jax.config.update("jax_platforms", "cpu")
+    # --cpu = tunnel-free control: on CPU the H2D transfer is memcpy-cheap,
+    # so overlap_efficiency isolates how well background_batches hides
+    # input assembly behind (slower) device compute. Without it, a dead
+    # TPU probe (tunnel outage) also falls back to CPU instead of hanging.
+    from dt4image_restoration_tpu.utils.tpu_probe import ensure_live_backend
+    _, tpu_unreachable = ensure_live_backend()
     import jax.numpy as jnp
 
     from dt4image_restoration_tpu.config import (
@@ -88,6 +89,7 @@ def main() -> None:
     from dt4image_restoration_tpu.training.sharding import background_batches
 
     results = {"platform": jax.devices()[0].platform, "batch": BATCH,
+               "tpu_unreachable": tpu_unreachable,
                "n_trajectories": N_TRAJ}
     rng = np.random.default_rng(0)
 

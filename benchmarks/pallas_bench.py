@@ -31,6 +31,9 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from dt4image_restoration_tpu.utils.tpu_probe import ensure_live_backend
+    _, tpu_unreachable = ensure_live_backend()
+
     from dt4image_restoration_tpu.config import ModelConfig
     from dt4image_restoration_tpu.data import make_mat_record
     from dt4image_restoration_tpu.env import (
@@ -44,7 +47,8 @@ def main() -> None:
         random_unet_state_dict)
 
     rng = np.random.default_rng(0)
-    results = {"platform": jax.devices()[0].platform}
+    results = {"platform": jax.devices()[0].platform,
+               "tpu_unreachable": tpu_unreachable}
     fetch0 = lambda o: float(np.asarray(o).reshape(-1)[0])
 
     # --- full ADMM rollout, XLA vs fused-pallas k-space consistency ------

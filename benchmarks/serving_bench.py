@@ -30,10 +30,11 @@ IMAGE_SIZE = 128
 
 def main() -> None:
     import jax
-    if "--cpu" in sys.argv:
-        # Tunnel-free control / smoke path (the suite's conftest does the
-        # same; env vars alone are too late, CLAUDE.md).
-        jax.config.update("jax_platforms", "cpu")
+    # --cpu = tunnel-free control / smoke path (the suite's conftest does
+    # the same; env vars alone are too late, CLAUDE.md). Without it, a
+    # dead TPU probe (tunnel outage) also falls back instead of hanging.
+    from dt4image_restoration_tpu.utils.tpu_probe import ensure_live_backend
+    _, tpu_unreachable = ensure_live_backend()
 
     from dt4image_restoration_tpu.config import MCTSConfig, ModelConfig
     from dt4image_restoration_tpu.data import make_mat_record
@@ -48,7 +49,8 @@ def main() -> None:
     from dt4image_restoration_tpu.utils.torch_reference import (
         random_unet_state_dict)
 
-    results = {"platform": jax.devices()[0].platform}
+    results = {"platform": jax.devices()[0].platform,
+               "tpu_unreachable": tpu_unreachable}
 
     den_params = convert_unet_state_dict(random_unet_state_dict(0))
     den_model = UNetDenoiser()

@@ -28,13 +28,17 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from dt4image_restoration_tpu.utils.tpu_probe import ensure_live_backend
+    _, tpu_unreachable = ensure_live_backend()
+
     from dt4image_restoration_tpu.config import ModelConfig, TrainerConfig
     from dt4image_restoration_tpu.models.decision_transformer import (
         init_dt_params, make_dt_apply)
     from dt4image_restoration_tpu.training import (
         TrainState, make_optimizer, make_train_step)
 
-    results = {"platform": jax.devices()[0].platform, "batch": BATCH}
+    results = {"platform": jax.devices()[0].platform, "batch": BATCH,
+               "tpu_unreachable": tpu_unreachable}
     rng = np.random.default_rng(0)
     batch = {
         "states": rng.uniform(0, 1, (BATCH, T, 128 * 128)).astype(

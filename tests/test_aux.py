@@ -234,6 +234,35 @@ def test_trainer_watch_logs_param_and_grad_histograms(rng):
         rtol=1e-5, atol=1e-7)
 
 
+def test_tpu_probe_backend_guard(monkeypatch, capsys):
+    """ensure_live_backend (shared by every standalone bench/demo script)
+    never lets a first device touch hang: already-CPU environments skip
+    the subprocess probe entirely, and a dead probe (tunnel outage) flips
+    the backend with tpu_unreachable flagged."""
+    from dt4image_restoration_tpu.utils import tpu_probe
+
+    # Suite env: conftest already forced jax_platforms=cpu -> forced path,
+    # no subprocess probe (which costs its full timeout during outages).
+    monkeypatch.setattr(tpu_probe, "tpu_reachable",
+                        lambda *a, **k: (_ for _ in ()).throw(
+                            AssertionError("probe must not run when "
+                                           "already on CPU")))
+    on_cpu, unreachable = tpu_probe.ensure_live_backend(argv=[])
+    assert on_cpu is True and unreachable is False
+
+    # --cpu flag forces the same without consulting the environment.
+    on_cpu, unreachable = tpu_probe.ensure_live_backend(argv=["x", "--cpu"])
+    assert on_cpu is True and unreachable is False
+
+    # Outage path: nothing forces CPU and the probe dies -> fallback with
+    # tpu_unreachable True (and a stderr note).
+    monkeypatch.setattr(tpu_probe, "_env_forces_cpu", lambda: False)
+    monkeypatch.setattr(tpu_probe, "tpu_reachable", lambda *a, **k: False)
+    on_cpu, unreachable = tpu_probe.ensure_live_backend(argv=[])
+    assert on_cpu is True and unreachable is True
+    assert "unreachable" in capsys.readouterr().err
+
+
 def test_input_pipeline_bench_smoke(monkeypatch, capsys):
     """benchmarks/input_pipeline_bench.py end-to-end on a tiny corpus
     (CPU): corpus build -> TrainingDataset -> warm (both donated-state

@@ -296,6 +296,11 @@ def build_parser():
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    # Parity deltas are backend-portable: fall back to CPU (with a stderr
+    # note) instead of hanging when the tunnel is down, so the first-
+    # contact validation run always completes (utils/tpu_probe.py).
+    from dt4image_restoration_tpu.utils.tpu_probe import ensure_live_backend
+    ensure_live_backend(argv=[])
     if args.selftest:
         report = _selftest(args)
     else:
