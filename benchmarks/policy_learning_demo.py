@@ -36,16 +36,18 @@ HELD_OUT = 7
 
 
 def main() -> None:
-    import h5py
     import jax
     import jax.numpy as jnp
+
+    from dt4image_restoration_tpu.utils.tpu_probe import ensure_live_backend
+    _, tpu_unreachable = ensure_live_backend()
 
     from dt4image_restoration_tpu.config import (
         ModelConfig, TrainerConfig, OPTIMAL_RTG_RANGE, OPTIMAL_TASKS)
     from dt4image_restoration_tpu.data import make_mat_record
     from dt4image_restoration_tpu.data.datasets import TrainingDataset
-    from dt4image_restoration_tpu.env import (
-        admm_step, compute_reward, get_policy_ob, reset_from_mat)
+    from dt4image_restoration_tpu.data.expert import record_expert_corpus
+    from dt4image_restoration_tpu.env import reset_from_mat
     from dt4image_restoration_tpu.inference import Evaluator
     from dt4image_restoration_tpu.models import UNetDenoiser
     from dt4image_restoration_tpu.models.decision_transformer import (
@@ -57,69 +59,25 @@ def main() -> None:
     from dt4image_restoration_tpu.utils.torch_reference import (
         random_unet_state_dict)
 
-    results = {"platform": jax.devices()[0].platform}
+    results = {"platform": jax.devices()[0].platform,
+               "tpu_unreachable": tpu_unreachable}
 
     den_params = convert_unet_state_dict(random_unet_state_dict(0))
     den_model = UNetDenoiser()
     denoise = lambda img, sig: den_model.apply({"params": den_params},
                                                img, sig)
 
-    # Scripted expert: decaying denoiser strength, fixed data-consistency
-    # weight, stop after EP_LEN steps.
-    def expert_action(t):
-        if t == EP_LEN - 1:
-            return {"T": 0.9, "sigma_d": 8 / 255.0, "mu": 0.5}
-        sig = (25.0 - t * 2.0) / 255.0
-        return {"T": 0.02 * t, "sigma_d": sig, "mu": 0.5}
-
-    step_jit = jax.jit(lambda s, a: admm_step(denoise, s, a))
-
-    def rollout_expert(mat):
-        """Returns (obs list, action dicts, psnr history incl. final)."""
-        state = reset_from_mat(mat)
-        obs = [np.asarray(get_policy_ob(state))[0]]
-        psnrs = [float(np.asarray(compute_reward(state))[0, 0])]
-        actions = []
-        for t in range(EP_LEN):
-            a = expert_action(t)
-            actions.append(a)
-            state = step_jit(
-                state, {k: jnp.full((1,), v, jnp.float32)
-                        for k, v in a.items()})
-            psnrs.append(float(np.asarray(compute_reward(state))[0, 0]))
-            if t < EP_LEN - 1:
-                obs.append(np.asarray(get_policy_ob(state))[0])
-        return obs, actions, psnrs
-
     # --- record trajectories in the reference's on-disk format ----------
+    # Shared recorder (data/expert.py; tools/make_dataset.py is the user
+    # CLI). Single task + default 4x/noiseless physics — the controlled
+    # setting this demo's learning criterion was tuned on.
     tmp = tempfile.mkdtemp(prefix="dt4ir_demo_")
-    traj_dir = os.path.join(tmp, "trajs")
-    os.makedirs(traj_dir)
-    h5_path = os.path.join(tmp, "states.h5")
-    expert_gain = []
-    with h5py.File(h5_path, "w") as f:
-        for i in range(N_TRAJ):
-            mat = dict(make_mat_record(seed=i))
-            mat["x0"] = np.clip(mat["x0"], 0, None)
-            obs, actions, psnrs = rollout_expert(mat)
-            final = psnrs[-1]
-            expert_gain.append(final - psnrs[0])
-            paths = []
-            for t, ob in enumerate(obs):
-                key = f"traj{i}/s{t}"
-                img = np.clip(ob.reshape(128, 128), 0, 1)
-                f.create_dataset(key, data=(img * 255).astype(np.uint8))
-                paths.append("0123456789" + key)
-            traj = {
-                "RTG": [final - p for p in psnrs[:EP_LEN]],
-                "Actions": {k: [float(a[k]) for a in actions]
-                            for k in ("T", "sigma_d", "mu")},
-                "State Paths": paths,
-                "Task": "4x_15",
-            }
-            with open(os.path.join(traj_dir, f"traj_{i}.json"), "w") as jf:
-                json.dump(traj, jf)
-    results["expert_increment_db"] = round(float(np.mean(expert_gain)), 3)
+    corpus = record_expert_corpus(
+        tmp, denoise, n_traj=N_TRAJ, ep_len=EP_LEN, seed=0,
+        tasks=["4x_15"], physics_from_task=False)
+    traj_dir, h5_path = corpus["traj_dir"], corpus["h5_path"]
+    results["expert_increment_db"] = round(
+        corpus["expert_increment_db"], 3)
 
     # --- train ------------------------------------------------------------
     cfg = ModelConfig(block_size=18, n_embeds=9, mode="norm")

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import os
 import re
-from typing import Any, Dict, Mapping
+from typing import Any, Dict, Mapping, Optional
 
 import numpy as np
 
@@ -221,6 +221,138 @@ def load_dt_checkpoint(path: str) -> Dict[str, Any]:
     sd = {k.removeprefix("module.").removeprefix("_orig_mod."): v
           for k, v in sd.items()}
     return convert_dt_state_dict(sd)
+
+
+# ---------------------------------------------------------------------------
+# Inverse converters: Flax params -> reference torch state_dicts
+# ---------------------------------------------------------------------------
+# Exact inverses of convert_{unet,dt}_state_dict for round-tripping: a model
+# trained/fine-tuned here can be exported back into the reference's torch
+# layout (NCHW/OIHW, C-major flatten, its exact key names) and loaded by the
+# reference code with load_state_dict(strict=True). Values are float32 numpy
+# arrays; save_torch_checkpoint wraps them as tensors.
+
+def _conv_kernel_inv(k: np.ndarray) -> np.ndarray:
+    """flax HWIO conv kernel -> torch OIHW."""
+    return np.ascontiguousarray(np.transpose(np.asarray(k), (3, 2, 0, 1)))
+
+
+def _linear_kernel_inv(k: np.ndarray) -> np.ndarray:
+    """flax (in, out) linear kernel -> torch (out, in)."""
+    return np.ascontiguousarray(np.transpose(np.asarray(k), (1, 0)))
+
+
+def export_unet_state_dict(params: Mapping[str, Any]) -> Dict[str, Any]:
+    """Inverse of :func:`convert_unet_state_dict`: ``UNetDenoiser`` Flax
+    params -> the reference UNet's torch ``state_dict`` key layout
+    (noise.py:88-137 module structure: ``inc.conv.conv-{i}.conv2d.*``,
+    ``down{k}.mpconv.1.conv-{i}.conv2d.*``, ``up{k}.conv.conv-{i}.conv2d.*``,
+    ``outc.conv.*``).
+
+    ``convert_unet_state_dict(export_unet_state_dict(p)) == p`` exactly
+    (pinned in tests/test_checkpoint.py).
+    """
+    net = params["net"]
+    sd: Dict[str, Any] = {}
+
+    def put(prefix: str, block: Mapping[str, Any]):
+        for conv_name, leaf in sorted(block.items()):
+            i = conv_name.removeprefix("conv")
+            sd[f"{prefix}.conv-{i}.conv2d.weight"] = _conv_kernel_inv(
+                leaf["kernel"])
+            sd[f"{prefix}.conv-{i}.conv2d.bias"] = np.asarray(leaf["bias"])
+
+    for name, block in net.items():
+        if name == "inc":
+            put("inc.conv", block)
+        elif name.startswith("down"):
+            put(f"{name}.mpconv.1", block)
+        elif name.startswith("up"):
+            put(f"{name}.conv", block)
+        elif name == "outc":
+            sd["outc.conv.weight"] = _conv_kernel_inv(block["kernel"])
+            sd["outc.conv.bias"] = np.asarray(block["bias"])
+        else:
+            raise ValueError(f"unrecognized UNet param block: {name}")
+    return sd
+
+
+def export_dt_state_dict(params: Mapping[str, Any],
+                         block_size: Optional[int] = None,
+                         state_conv_hw: int = 12,
+                         state_conv_ch: int = 16) -> Dict[str, Any]:
+    """Inverse of :func:`convert_dt_state_dict`: our Flax DT params -> the
+    reference DecisionTransformer ``state_dict`` (decision_transformer.py:
+    106-164 naming), including the un-permute of the flatten-order-sensitive
+    ``state_encoder.7`` kernel back to torch's C-major flatten.
+
+    When ``block_size`` is given, the causal-mask ``masking`` buffers torch
+    registers in each attention block (decision_transformer.py:44-48,
+    ``tril(ones(B, B)).view(1, 1, B, B)``) are emitted too, so the reference
+    model accepts the export with ``load_state_dict(strict=True)``.
+
+    ``convert_dt_state_dict(export_dt_state_dict(p)) == p`` exactly
+    (pinned in tests/test_checkpoint.py).
+    """
+    sd: Dict[str, Any] = {}
+
+    def lin(name: str, leaf: Mapping[str, Any]):
+        sd[name + ".weight"] = _linear_kernel_inv(leaf["kernel"])
+        sd[name + ".bias"] = np.asarray(leaf["bias"])
+
+    sd["time_embed.weight"] = np.asarray(params["time_embed"]["embedding"])
+    sd["task_embed.weight"] = np.asarray(params["task_embed"]["embedding"])
+    lin("embed_action.0", params["embed_action"])
+    lin("embed_return.0", params["embed_return"])
+
+    enc = params["state_encoder"]
+    for i, torch_idx in enumerate((0, 2, 4)):
+        sd[f"state_encoder.{torch_idx}.weight"] = _conv_kernel_inv(
+            enc[f"conv{i}"]["kernel"])
+        sd[f"state_encoder.{torch_idx}.bias"] = np.asarray(
+            enc[f"conv{i}"]["bias"])
+    # Un-permute the flatten-order-sensitive Linear (convert_dt_state_dict
+    # maps torch input index c*H*W + h*W + w onto ours h*W*C + w*C + c;
+    # invert that before transposing back to torch (out, in)).
+    hw, ch = state_conv_hw, state_conv_ch
+    w = np.asarray(enc["dense"]["kernel"])           # (hw*hw*ch, E) ours
+    w = w.reshape(hw, hw, ch, -1).transpose(2, 0, 1, 3).reshape(
+        ch * hw * hw, -1)                            # (ch*hw*hw, E) torch-in
+    sd["state_encoder.7.weight"] = _linear_kernel_inv(w)
+    sd["state_encoder.7.bias"] = np.asarray(enc["dense"]["bias"])
+
+    block_ids = sorted(int(m.group(1)) for k in params
+                       if (m := re.fullmatch(r"block(\d+)", k)))
+    if not block_ids:
+        raise ValueError("DT params have no block{i} transformer blocks")
+    for i in block_ids:
+        blk, t = params[f"block{i}"], f"transformer.{i}."
+        for ln in ("ln1", "ln2"):
+            sd[t + ln + ".weight"] = np.asarray(blk[ln]["scale"])
+            sd[t + ln + ".bias"] = np.asarray(blk[ln]["bias"])
+        lin(t + "c_att.qkv_proj", blk["attn"]["qkv_proj"])
+        lin(t + "c_att.o_proj", blk["attn"]["o_proj"])
+        lin(t + "mlp.fc", blk["fc"])
+        lin(t + "mlp.fc_proj", blk["fc_proj"])
+        if block_size is not None:
+            sd[t + "c_att.masking"] = np.tril(
+                np.ones((block_size, block_size), np.float32)).reshape(
+                    1, 1, block_size, block_size)
+
+    sd["layer_n.weight"] = np.asarray(params["layer_n"]["scale"])
+    sd["layer_n.bias"] = np.asarray(params["layer_n"]["bias"])
+    lin("predict_action.0", params["predict_action"])
+    lin("predict_rtg", params["predict_rtg"])
+    return sd
+
+
+def save_torch_checkpoint(path: str, state_dict: Mapping[str, Any]) -> None:
+    """Write an exported state_dict as a torch ``.pt`` file (float32
+    tensors), loadable by the reference's ``torch.load`` +
+    ``load_state_dict`` (main.py:178-183, noise.py:139-153)."""
+    import torch
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(
+        np.asarray(v, np.float32))) for k, v in state_dict.items()}, path)
 
 
 # ---------------------------------------------------------------------------

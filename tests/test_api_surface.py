@@ -44,14 +44,21 @@ DOCUMENTED = {
         "TrainingDataset", "EvaluationDataset", "EvaluationFlexibleDataset",
         "EvaluationOptimalDataset", "extract_task", "make_mat_record",
         "shepp_logan", "radial_mask"],
+    "dt4image_restoration_tpu.data.expert": [
+        "scripted_expert_action", "rollout_expert", "record_expert_corpus",
+        "make_eval_dirs", "task_physics"],
     "dt4image_restoration_tpu.utils.checkpoint": [
         "load_unet_checkpoint", "load_dt_checkpoint",
         "convert_unet_state_dict", "convert_dt_state_dict",
+        "export_unet_state_dict", "export_dt_state_dict",
+        "save_torch_checkpoint",
         "save_checkpoint", "restore_checkpoint"],
     "dt4image_restoration_tpu.utils.compile_cache": [
         "enable_persistent_cache"],
     "dt4image_restoration_tpu.utils.profiling": [
         "trace_if_enabled", "annotate", "StepTimer"],
+    "dt4image_restoration_tpu.utils.tpu_probe": [
+        "tpu_reachable", "ensure_live_backend"],
     "dt4image_restoration_tpu.serving": [
         "RestorationService", "RestorationRequest", "RestorationResult"],
     "dt4image_restoration_tpu.config": [

@@ -165,3 +165,89 @@ def test_unet_converter_rejects_renamed_key():
         "inc.conv.conv-0.conv2d.bias")
     with pytest.raises(ValueError, match="unrecognized"):
         convert_unet_state_dict(sd)
+
+
+# ---------------------------------------------------------------------------
+# Inverse converters (JAX -> torch export, utils/checkpoint.py)
+# ---------------------------------------------------------------------------
+
+def test_export_unet_is_exact_inverse():
+    """export_unet_state_dict is the exact inverse of the importer in BOTH
+    directions: identical key set and bit-identical values on a
+    reference-layout state dict, and params -> sd -> params is the
+    identity."""
+    from dt4image_restoration_tpu.utils.checkpoint import (
+        convert_unet_state_dict, export_unet_state_dict)
+    from dt4image_restoration_tpu.utils.torch_reference import (
+        random_unet_state_dict)
+    sd = random_unet_state_dict(7)
+    params = convert_unet_state_dict(sd)
+    back = export_unet_state_dict(params)
+    assert set(back) == set(sd)
+    for k in sd:
+        np.testing.assert_array_equal(back[k],
+                                      np.asarray(sd[k], np.float32), err_msg=k)
+    params2 = convert_unet_state_dict(back)
+    jax.tree.map(np.testing.assert_array_equal, params, params2)
+
+
+def test_export_dt_is_exact_inverse_with_masking():
+    """DT export reproduces the reference layout bit-identically, including
+    the (1, 1, B, B) tril 'masking' buffers torch registers per attention
+    block (decision_transformer.py:44-48) so load_state_dict(strict=True)
+    accepts it; the importer round-trips the export."""
+    from tests.test_dt import make_dt_state_dict
+    from dt4image_restoration_tpu.utils.checkpoint import (
+        convert_dt_state_dict, export_dt_state_dict)
+    gen = torch.Generator().manual_seed(11)
+    sd = make_dt_state_dict(gen)
+    params = convert_dt_state_dict(sd)
+    back = export_dt_state_dict(params, block_size=18)
+
+    masks = {k for k in back if k.endswith("c_att.masking")}
+    assert masks == {f"transformer.{i}.c_att.masking" for i in range(5)}
+    for k in masks:
+        np.testing.assert_array_equal(
+            back[k],
+            np.tril(np.ones((18, 18), np.float32)).reshape(1, 1, 18, 18))
+    assert set(back) - masks == set(sd)
+    for k in sd:
+        np.testing.assert_array_equal(
+            back[k], np.asarray(sd[k].numpy(), np.float32), err_msg=k)
+
+    params2 = convert_dt_state_dict(back)
+    jax.tree.map(np.testing.assert_array_equal, params, params2)
+
+
+def test_export_dt_from_native_init_roundtrip():
+    """Natively initialized Flax params survive export -> import exactly
+    (the fine-tune-here-then-run-in-the-reference path)."""
+    from dt4image_restoration_tpu.utils.checkpoint import (
+        convert_dt_state_dict, export_dt_state_dict)
+    cfg = ModelConfig(block_size=18, n_embeds=9)
+    params = jax.device_get(init_dt_params(cfg, seed=5))
+    back = convert_dt_state_dict(export_dt_state_dict(params))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a, np.float32), np.asarray(b, np.float32)),
+        params, back)
+
+
+def test_export_checkpoint_cli(tmp_path):
+    """tools/export_checkpoint.py: orbax params dir -> torch .pt that the
+    strict importer loads back to the identical tree."""
+    import tools.export_checkpoint as exporter
+    from dt4image_restoration_tpu.utils.checkpoint import load_dt_checkpoint
+    cfg = ModelConfig(block_size=18, n_embeds=9)
+    params = jax.device_get(init_dt_params(cfg, seed=9))
+    src = tmp_path / "model_3"
+    save_checkpoint(str(src), params)
+    out = tmp_path / "export.pt"
+    rc = exporter.main(["--model", "dt", "--in", str(src),
+                        "--out", str(out), "--block_size", "18"])
+    assert rc == 0
+    back = load_dt_checkpoint(str(out))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a, np.float32), np.asarray(b, np.float32)),
+        params, back)

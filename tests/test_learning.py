@@ -3,10 +3,6 @@ real env, write them in the reference's on-disk format, train the DT, and
 verify the trained policy recovers the expert's behavior on held-out
 slices (the CPU-scale twin of benchmarks/policy_learning_demo.py, which
 measured trained +5.05 dB vs expert +5.04 on TPU)."""
-import json
-import os
-
-import h5py
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -16,8 +12,6 @@ from dt4image_restoration_tpu.config import (
     ModelConfig, TrainerConfig, OPTIMAL_RTG_RANGE, OPTIMAL_TASKS)
 from dt4image_restoration_tpu.data import make_mat_record
 from dt4image_restoration_tpu.data.datasets import TrainingDataset
-from dt4image_restoration_tpu.env import (
-    admm_step, compute_reward, get_policy_ob, reset_from_mat)
 from dt4image_restoration_tpu.inference import Evaluator
 from dt4image_restoration_tpu.models.decision_transformer import (
     init_dt_params, make_dt_apply)
@@ -39,7 +33,9 @@ def stub_denoise(img, sigma):
     return jnp.clip((1 - w) * img + w * blur, 0.0, 1.0)
 
 
-def expert_action(t):
+def expert_action(t, ep_len=None):
+    # Steeper sigma decay than data.expert's default schedule — tuned for
+    # the stub denoiser above.
     if t == EP_LEN - 1:
         return {"T": 0.9, "sigma_d": 8 / 255.0, "mu": 0.5}
     return {"T": 0.02 * t, "sigma_d": (25.0 - 3.0 * t) / 255.0, "mu": 0.5}
@@ -47,45 +43,15 @@ def expert_action(t):
 
 @pytest.fixture(scope="module")
 def corpus(tmp_path_factory):
+    """Shared recorder (data/expert.py) with the stub denoiser + local
+    expert schedule, single task, default physics."""
+    from dt4image_restoration_tpu.data.expert import record_expert_corpus
     tmp = tmp_path_factory.mktemp("learn")
-    traj_dir = tmp / "trajs"
-    os.makedirs(traj_dir)
-    h5_path = tmp / "states.h5"
-    step = jax.jit(lambda s, a: admm_step(stub_denoise, s, a))
-    gains = []
-    with h5py.File(h5_path, "w") as f:
-        for i in range(N_TRAJ):
-            mat = dict(make_mat_record(seed=i))
-            mat["x0"] = np.clip(mat["x0"], 0, None)
-            state = reset_from_mat(mat)
-            obs = [np.asarray(get_policy_ob(state))[0]]
-            psnrs = [float(np.asarray(compute_reward(state))[0, 0])]
-            actions = []
-            for t in range(EP_LEN):
-                a = expert_action(t)
-                actions.append(a)
-                state = step(state, {k: jnp.full((1,), v, jnp.float32)
-                                     for k, v in a.items()})
-                psnrs.append(float(np.asarray(compute_reward(state))[0, 0]))
-                if t < EP_LEN - 1:
-                    obs.append(np.asarray(get_policy_ob(state))[0])
-            final = psnrs[-1]
-            gains.append(final - psnrs[0])
-            paths = []
-            for t, ob in enumerate(obs):
-                key = f"traj{i}/s{t}"
-                img = np.clip(ob.reshape(128, 128), 0, 1)
-                f.create_dataset(key, data=(img * 255).astype(np.uint8))
-                paths.append("0123456789" + key)
-            with open(traj_dir / f"traj_{i}.json", "w") as jf:
-                json.dump({
-                    "RTG": [final - p for p in psnrs[:EP_LEN]],
-                    "Actions": {k: [float(a[k]) for a in actions]
-                                for k in ("T", "sigma_d", "mu")},
-                    "State Paths": paths,
-                    "Task": "4x_15",
-                }, jf)
-    return str(traj_dir), str(h5_path), float(np.mean(gains))
+    stats = record_expert_corpus(
+        str(tmp), stub_denoise, n_traj=N_TRAJ, ep_len=EP_LEN, seed=0,
+        tasks=["4x_15"], physics_from_task=False, expert_fn=expert_action)
+    return (stats["traj_dir"], stats["h5_path"],
+            float(stats["expert_increment_db"]))
 
 
 def test_pipeline_learns_expert_policy(corpus):
