@@ -200,16 +200,26 @@ def _existing_dirs(dirs):
     return existing
 
 
+def _default_dirs(args, base_dirs):
+    """Explicit --data_dirs win; otherwise the reference's default dir
+    list, optionally re-rooted by --data_root (where tools/make_dataset.py
+    --eval writes the same layout)."""
+    if args.data_dirs:
+        return args.data_dirs
+    root = getattr(args, "data_root", None) or "."
+    return [os.path.join(root, d) for d in base_dirs]
+
+
 def cmd_eval(args) -> None:
     evaluator = _make_evaluator(args, "norm", args.checkpoint, args.rtg,
                                 "norm")
-    evaluator.run(_existing_dirs(args.data_dirs or EVAL_DIRS_9))
+    evaluator.run(_existing_dirs(_default_dirs(args, EVAL_DIRS_9)))
 
 
 def cmd_flex(args) -> None:
     from dt4image_restoration_tpu.config import ModelConfig
     from dt4image_restoration_tpu.inference import Evaluator
-    dirs = _existing_dirs(args.data_dirs or EVAL_DIRS_6)
+    dirs = _existing_dirs(_default_dirs(args, EVAL_DIRS_6))
     # Load the model/denoiser once; the 5 RTG-target evaluators share one
     # compiled program (reference reloads per target, main.py:200-203).
     cfg = ModelConfig(block_size=args.block_size, n_embeds=args.n_embeds,
@@ -274,7 +284,7 @@ def cmd_mcts(args) -> None:
     else:  # 'device': the whole search is one XLA program per directory
         mcts = DeviceMCTS(mesh=_eval_mesh(), value_fn_jax=value_fn_jax,
                           node_dtype=args.node_dtype, **common)
-    dirs = _existing_dirs(args.data_dirs or EVAL_DIRS_9)
+    dirs = _existing_dirs(_default_dirs(args, EVAL_DIRS_9))
     total = 0.0
     if args.sequential:
         for path in dirs:
@@ -321,6 +331,15 @@ def build_parser() -> argparse.ArgumentParser:
         description="TPU-native Decision Transformer for PnP-ADMM CSMRI")
     p.add_argument("--block_size", type=int, required=True)
     p.add_argument("--n_embeds", type=int, default=9)
+    p.add_argument("--platform", default="default",
+                   choices=["default", "cpu"],
+                   help="'default' uses the configured jax backend (TPU "
+                        "under the driver) after a bounded health probe — "
+                        "a dead axon tunnel makes jax.devices() HANG, so "
+                        "the CLI fails fast with guidance instead; 'cpu' "
+                        "switches to the CPU backend explicitly (there is "
+                        "deliberately NO silent fallback on this "
+                        "production surface)")
     sub = p.add_subparsers(dest="mode", required=True)
 
     t = sub.add_parser("train")
@@ -357,6 +376,12 @@ def build_parser() -> argparse.ArgumentParser:
         s.add_argument("--denoiser_ckpt",
                        default="evaluation/pretrained/unet-nm.pt")
         s.add_argument("--data_dirs", nargs="*", default=None)
+        s.add_argument("--data_root", default=None,
+                       help="re-root the DEFAULT eval dir list (the nine "
+                            "evaluation/image_dir/vanilla/{A}_{S} dirs) "
+                            "under this path — e.g. the --out of "
+                            "tools/make_dataset.py --eval; ignored when "
+                            "--data_dirs is given")
         s.add_argument("--dtype", default="float32",
                        choices=["float32", "bfloat16"],
                        help="compute dtype for the DT, denoiser, and "
@@ -395,6 +420,28 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _ensure_backend(platform: str) -> None:
+    """Guard the CLI's first device touch. When the axon tunnel is down,
+    ``jax.devices()`` HANGS instead of erroring (CLAUDE.md) — probe the
+    backend in a bounded subprocess and fail fast with guidance rather
+    than silently falling back (this is the production surface; benches
+    fall back instead, utils/tpu_probe.py). Skipped when the environment
+    already forces CPU (tests' conftest, JAX_PLATFORMS=cpu)."""
+    from dt4image_restoration_tpu.utils import tpu_probe
+    if platform == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        return
+    if tpu_probe._env_forces_cpu():
+        return
+    if not tpu_probe.tpu_reachable():
+        raise SystemExit(
+            "ERROR: the default accelerator backend is unreachable "
+            "(axon tunnel outage? jax.devices() would hang forever). "
+            "Retry once the tunnel is back, or rerun with --platform cpu "
+            "to use the CPU backend explicitly.")
+
+
 def main(argv=None) -> None:
     # Persistent XLA compile cache: the CLI's programs are few and large
     # (whole-rollout scans, the device search), so repeat invocations are
@@ -405,6 +452,7 @@ def main(argv=None) -> None:
             enable_persistent_cache)
         enable_persistent_cache()
     args = build_parser().parse_args(argv)
+    _ensure_backend(args.platform)
     from dt4image_restoration_tpu.training.sharding import (
         maybe_initialize_distributed)
     maybe_initialize_distributed()

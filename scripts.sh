@@ -17,6 +17,9 @@ python main.py --block_size 18 --n_embeds 9 mcts --rtg 5 --max_timesteps 30
 python main.py --block_size 18 --n_embeds 6 flex --max_timesteps 30
 
 #headline benchmark (PnP-ADMM iters/sec/chip vs torch-CPU reference)
+#NOTE: every bench below probes the TPU backend with a hard timeout and
+#falls back to CPU (tpu_unreachable flagged in its JSON) when the axon
+#tunnel is down — jax.devices() would otherwise hang forever.
 python bench.py
 
 #DT-guided inference benchmarks (greedy/flex/MCTS incl. the device-resident
@@ -41,3 +44,11 @@ python benchmarks/pallas_bench.py
 #through background_batches + prefetch_shard; --cpu = tunnel-free control)
 python benchmarks/input_pipeline_bench.py
 python benchmarks/input_pipeline_bench.py --cpu
+
+#out-of-the-box data: scripted-expert training corpus + the nine default
+#eval dirs (the reference's sets are email-/download-gated)
+python tools/make_dataset.py --out data_synth --n_traj 128 --eval
+
+#round-trip a native checkpoint back to the reference's torch layout
+python tools/export_checkpoint.py --model dt --in checkpoints/model_5 \
+  --out model_export.pt --block_size 18

@@ -228,3 +228,55 @@ def test_cli_eval_all_dirs_missing_raises(tmp_path):
                   "--checkpoint", "/nonexistent.pt",
                   "--denoiser_ckpt", "/nonexistent.pt",
                   "--data_dirs", str(tmp_path / "missing")])
+
+
+def test_cli_platform_guard(monkeypatch, tmp_path):
+    """--platform default fails FAST with guidance when the backend probe
+    dies (tunnel outage: jax.devices() would hang), and --platform cpu
+    is an explicit escape hatch — the production CLI never silently
+    falls back (main.py _ensure_backend)."""
+    from dt4image_restoration_tpu.utils import tpu_probe
+
+    # Simulate an outage: nothing forces CPU and the probe is dead.
+    monkeypatch.setattr(tpu_probe, "_env_forces_cpu", lambda: False)
+    monkeypatch.setattr(tpu_probe, "tpu_reachable", lambda *a, **k: False)
+    with pytest.raises(SystemExit, match="--platform cpu"):
+        cli.main(["--block_size", "18", "--n_embeds", "9", "eval",
+                  "--rtg", "10", "--checkpoint", "/nonexistent.pt",
+                  "--denoiser_ckpt", "/nonexistent.pt",
+                  "--data_dirs", str(tmp_path / "missing")])
+
+    # --platform cpu skips the probe entirely (would raise above) and
+    # proceeds to normal dispatch (missing dirs -> the loud failure).
+    with pytest.raises(FileNotFoundError, match="none of the evaluation"):
+        cli.main(["--block_size", "18", "--n_embeds", "9",
+                  "--platform", "cpu", "eval",
+                  "--rtg", "10", "--checkpoint", "/nonexistent.pt",
+                  "--denoiser_ckpt", "/nonexistent.pt",
+                  "--data_dirs", str(tmp_path / "missing")])
+
+
+def test_cli_data_root_reroots_default_dirs(tmp_path, capsys):
+    """--data_root points the DEFAULT nine-dir list at another root (the
+    layout tools/make_dataset.py --eval writes): present dirs evaluate,
+    missing ones warn-skip, and an empty root fails loudly with the
+    re-rooted paths."""
+    from dt4image_restoration_tpu.data.expert import make_eval_dirs
+    make_eval_dirs(str(tmp_path), per_dir=1, dirs=["4_15"])
+    cli.main(["--block_size", "18", "--n_embeds", "9", "eval",
+              "--rtg", "10", "--max_timesteps", "6",
+              "--checkpoint", "/nonexistent.pt",
+              "--denoiser_ckpt", "/nonexistent.pt",
+              "--data_root", str(tmp_path)])
+    captured = capsys.readouterr()
+    assert "Average reward" in captured.out
+    # The other eight default dirs were looked up under the root and
+    # warn-skipped.
+    assert captured.err.count("skipping missing/empty") == 8
+    assert str(tmp_path) in captured.err
+
+    with pytest.raises(FileNotFoundError, match="none of the evaluation"):
+        cli.main(["--block_size", "18", "--n_embeds", "9", "eval",
+                  "--rtg", "10", "--checkpoint", "/nonexistent.pt",
+                  "--denoiser_ckpt", "/nonexistent.pt",
+                  "--data_root", str(tmp_path / "empty")])
