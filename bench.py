@@ -23,7 +23,6 @@ import numpy as np
 
 N_ITERS = 30
 MU = 0.5
-PROBE_TIMEOUT_S = 90  # axon-tunnel health probe (outages make devices() hang)
 SIGMA_D = 15.0 / 255.0
 BATCH = 16
 SCALING_BATCHES = (64, 128, 256)
@@ -50,16 +49,6 @@ def _throughput(fn, fetch, repeats: int, warmup: int = 2) -> float:
     return (time.perf_counter() - t0) / repeats
 
 
-def _tpu_reachable(timeout_s: float = PROBE_TIMEOUT_S) -> bool:
-    """Probe the TPU backend in a SUBPROCESS with a hard timeout: when the
-    axon tunnel is down, ``jax.devices()`` hangs instead of erroring
-    (CLAUDE.md, observed 2026-08-17), which would hang the driver's
-    round-end bench run forever. A dead probe -> bounded CPU fallback with
-    ``tpu_unreachable`` recorded, instead of no artifact at all."""
-    from dt4image_restoration_tpu.utils.tpu_probe import tpu_reachable
-    return tpu_reachable(timeout_s)
-
-
 def main() -> None:
     import os
     import sys
@@ -67,9 +56,16 @@ def main() -> None:
     t_run_start = time.perf_counter()
     env_cpu = os.environ.get("JAX_PLATFORMS", "") == "cpu"
     tpu_unreachable = False
-    if not env_cpu and not _tpu_reachable():
-        tpu_unreachable = True
-        print("[bench] TPU backend unreachable (tunnel down?) — "
+    if not env_cpu:
+        # Bounded subprocess probe: when the axon tunnel is down,
+        # jax.devices() HANGS instead of erroring (CLAUDE.md), which would
+        # hang the driver's round-end bench forever. Only a DEAD probe is
+        # an outage (-> CPU fallback with tpu_unreachable recorded); a
+        # healthy non-TPU default backend answers and runs as-is.
+        from dt4image_restoration_tpu.utils.tpu_probe import probe_backend
+        tpu_unreachable = probe_backend() is None
+    if tpu_unreachable:
+        print("[bench] default backend unreachable (tunnel down?) — "
               "falling back to CPU; extras.tpu_unreachable=true",
               file=sys.stderr)
 

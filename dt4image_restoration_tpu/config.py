@@ -22,6 +22,13 @@ OPTIMAL_TASKS: Tuple[str, ...] = (
     "8x_15")
 OPTIMAL_RTG_RANGE: Tuple[float, float] = (-1.08, 16.6)
 
+# The nine default eval-set directory names ({acceleration}_{noise}),
+# in the reference CLI's order (reference main.py:225-227). Consumed by
+# both main.py's default dir list and data.expert.make_eval_dirs so the
+# generated tree and the CLI default can never diverge.
+EVAL_DIR_TOKENS: Tuple[str, ...] = (
+    "4_15", "4_10", "4_5", "8_15", "8_10", "8_5", "2_15", "2_10", "2_5")
+
 IMAGE_SIZE = 128  # CSMRI slice resolution (reference: env.py:64)
 
 

@@ -113,6 +113,14 @@ def record_expert_corpus(root: str, denoise: Callable, *,
     on). Returns stats including the expert's mean PSNR increment — the
     target a trained policy should recover.
 
+    For the flex experiment (default vocab) the ``rtg_*`` task token must
+    encode the trajectory's ACHIEVED increment — at eval time the token is
+    derived from the desired increment (datasets.py flex tokenization), so
+    a label uncorrelated with the outcome would make the conditioning pure
+    noise. Flex recording therefore cycles the nine optimal physics
+    conditions for difficulty spread and labels each trajectory post hoc
+    with the nearest ``rtg_*`` bucket to its measured gain.
+
     Recording is batched: ``expert_fn`` depends only on the step index, so
     episodes roll ``batch_chunk`` trajectories at a time as one scanned
     device program (per-trajectory output matches :func:`rollout_expert`
@@ -121,10 +129,17 @@ def record_expert_corpus(root: str, denoise: Callable, *,
     import h5py
     import jax
 
+    label_by_gain = tasks is None and str(experiment).startswith("flex")
     if tasks is None:
         tasks, _ = tasks_for_experiment(experiment)
     traj_dir = os.path.join(root, "trajs")
     os.makedirs(traj_dir, exist_ok=True)
+    # A rerun into the same --out with a smaller n_traj would otherwise
+    # leave stale trajectory jsons pointing at h5 keys the 'w'-mode
+    # states.h5 rewrite just deleted.
+    for stale in os.listdir(traj_dir):
+        if stale.endswith(".json"):
+            os.remove(os.path.join(traj_dir, stale))
     h5_path = os.path.join(root, "states.h5")
 
     # The scripted schedule is the SAME for every trajectory, so the whole
@@ -156,10 +171,20 @@ def record_expert_corpus(root: str, denoise: Callable, *,
             idx = list(range(lo, min(lo + batch_chunk, n_traj)))
             chunk_tasks, mats = [], []
             for i in idx:
-                task = tasks[i % len(tasks)]
-                chunk_tasks.append(task)
-                acc, noise = (task_physics(task) if physics_from_task
-                              else (4, 0.0))
+                if label_by_gain:
+                    # Physics can't come from an rtg_* name: cycle the
+                    # optimal conditions for spread; the label is decided
+                    # from the measured gain below.
+                    from dt4image_restoration_tpu.config import (
+                        OPTIMAL_TASKS)
+                    chunk_tasks.append(None)
+                    acc, noise = task_physics(
+                        OPTIMAL_TASKS[i % len(OPTIMAL_TASKS)])
+                else:
+                    task = tasks[i % len(tasks)]
+                    chunk_tasks.append(task)
+                    acc, noise = (task_physics(task) if physics_from_task
+                                  else (4, 0.0))
                 mat = dict(make_mat_record(size=size, acceleration=acc,
                                            noise_sigma=noise,
                                            seed=seed + i))
@@ -175,7 +200,13 @@ def record_expert_corpus(root: str, denoise: Callable, *,
                 traj_obs = [ob0[j]] + [obs[t, j] for t in range(ep_len - 1)]
                 traj_psnrs = [float(p0[j])] + [float(psnrs[t, j])
                                                for t in range(ep_len)]
-                gains.append(traj_psnrs[-1] - traj_psnrs[0])
+                gain = traj_psnrs[-1] - traj_psnrs[0]
+                gains.append(gain)
+                task_label = chunk_tasks[j]
+                if task_label is None:  # flex: nearest rtg_* bucket
+                    task_label = min(
+                        tasks,
+                        key=lambda t: abs(float(t.split("_", 1)[1]) - gain))
                 paths = []
                 for t, ob in enumerate(traj_obs):
                     key = f"traj{i}/s{t}"
@@ -191,7 +222,7 @@ def record_expert_corpus(root: str, denoise: Callable, *,
                     "Actions": {k: [float(a[k]) for a in sched]
                                 for k in ACTION_KEYS},
                     "State Paths": paths,
-                    "Task": chunk_tasks[j],
+                    "Task": task_label,
                 }
                 with open(os.path.join(traj_dir, f"traj_{i}.json"),
                           "w") as jf:
@@ -207,24 +238,30 @@ def make_eval_dirs(root: str, *, per_dir: int = 7,
                    dirs: Optional[List[str]] = None,
                    size: int = IMAGE_SIZE, seed: int = 0) -> List[str]:
     """Write the nine ``evaluation/image_dir/vanilla/{A}_{S}/`` eval
-    directories (or a given subset) of ``.mat`` records under ``root`` —
-    the exact default layout the CLI's eval/flex/mcts modes scan
-    (main.py EVAL_DIRS_9; reference main.py:225-227). ``per_dir`` defaults
-    to 7 because the evaluator averages the first seven images per dir
-    (reference eval.py:137-143)."""
+    directories (default: ``config.EVAL_DIR_TOKENS``, the same constant
+    the CLI's default dir list derives from) of ``.mat`` records under
+    ``root`` — the exact layout the eval/flex/mcts modes scan (reference
+    main.py:225-227). ``per_dir`` defaults to 7 because the evaluator
+    averages the first seven images per dir (reference eval.py:137-143)."""
+    import zlib
+
     from scipy.io import savemat
 
-    dirs = dirs if dirs is not None else [
-        "4_15", "4_10", "4_5", "8_15", "8_10", "8_5", "2_15", "2_10", "2_5"]
+    from dt4image_restoration_tpu.config import EVAL_DIR_TOKENS
+
+    dirs = list(EVAL_DIR_TOKENS) if dirs is None else dirs
     out = []
     for d in dirs:
         acc, noise = task_physics(d)
+        # Name-keyed seed block: collision-free across arbitrary dir
+        # lists (an arithmetic mix of acc+noise is not injective) and
+        # stable under list reordering.
+        base = seed + (zlib.crc32(d.encode()) % 1_000_003) * 1000
         full = os.path.join(root, "evaluation", "image_dir", "vanilla", d)
         os.makedirs(full, exist_ok=True)
         for i in range(per_dir):
             rec = make_mat_record(size=size, acceleration=acc,
-                                  noise_sigma=noise,
-                                  seed=seed + 1000 * (acc + int(noise)) + i)
+                                  noise_sigma=noise, seed=base + i)
             savemat(os.path.join(full, f"img_{d}_s{i}.mat"), rec)
         out.append(full)
     return out

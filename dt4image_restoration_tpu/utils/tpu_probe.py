@@ -22,20 +22,31 @@ from typing import Optional, Sequence, Tuple
 PROBE_TIMEOUT_S = 90.0  # axon-tunnel health probe (outages make devices() hang)
 
 
-def tpu_reachable(timeout_s: float = PROBE_TIMEOUT_S) -> bool:
-    """True iff the default jax backend is a live TPU.
+def probe_backend(timeout_s: float = PROBE_TIMEOUT_S) -> Optional[str]:
+    """The default jax backend's platform string ('tpu' / 'cpu' / 'gpu'),
+    or ``None`` when the probe subprocess hangs or errors — the actual
+    outage signature (a dead tunnel hangs ``jax.devices()``; a healthy
+    non-TPU backend answers and must NOT be treated as an outage).
 
     Probes in a SUBPROCESS with a hard timeout: a hung ``jax.devices()``
-    (tunnel outage) kills the child, not this process.
+    kills the child, not this process.
     """
     try:
         r = subprocess.run(
             [sys.executable, "-c",
              "import jax; print(jax.devices()[0].platform)"],
             timeout=timeout_s, capture_output=True, text=True)
-        return r.returncode == 0 and "tpu" in r.stdout
+        if r.returncode != 0:
+            return None
+        tokens = r.stdout.strip().split()
+        return tokens[-1] if tokens else None
     except (subprocess.TimeoutExpired, OSError):
-        return False
+        return None
+
+
+def tpu_reachable(timeout_s: float = PROBE_TIMEOUT_S) -> bool:
+    """True iff the default jax backend is a live TPU."""
+    return probe_backend(timeout_s) == "tpu"
 
 
 def _env_forces_cpu() -> bool:
@@ -58,19 +69,23 @@ def ensure_live_backend(argv: Optional[Sequence[str]] = None,
 
     Returns ``(on_cpu, tpu_unreachable)``: ``on_cpu`` is True when the
     process is (now) on the CPU backend — because ``--cpu`` is in
-    ``argv``, the environment already forces CPU, or the TPU probe died
-    (``tpu_unreachable`` True, a tunnel outage) — in which case the
-    backend has been switched via ``jax.config.update``.
+    ``argv``, the environment already forces CPU, or the probe DIED
+    (``tpu_unreachable`` True, the tunnel-outage signature) — in which
+    case the backend has been switched via ``jax.config.update``. A
+    healthy non-TPU default backend (plain CPU/GPU machine) is NOT an
+    outage: it is left untouched and ``tpu_unreachable`` stays False.
     """
     argv = sys.argv if argv is None else list(argv)
     forced = "--cpu" in argv or _env_forces_cpu()
-    tpu_unreachable = False
-    if not forced and not tpu_reachable(timeout_s):
-        tpu_unreachable = True
-        print("[tpu_probe] TPU backend unreachable (tunnel down?) — "
-              "falling back to CPU", file=sys.stderr)
-    if forced or tpu_unreachable:
+    if forced:
         import jax
         jax.config.update("jax_platforms", "cpu")
-        return True, tpu_unreachable
-    return False, False
+        return True, False
+    platform = probe_backend(timeout_s)
+    if platform is None:
+        print("[tpu_probe] default backend unreachable (tunnel down?) — "
+              "falling back to CPU", file=sys.stderr)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        return True, True
+    return platform == "cpu", False

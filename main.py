@@ -34,61 +34,18 @@ for _noisy in ("jax", "absl", "orbax"):
     logging.getLogger(_noisy).setLevel(logging.WARNING)
 logger = logging.getLogger("dt4ir_tpu")
 
+from dt4image_restoration_tpu.config import EVAL_DIR_TOKENS  # noqa: E402
+
 EVAL_DIRS_9 = [f"evaluation/image_dir/vanilla/{t}/" for t in
-               ("4_15", "4_10", "4_5", "8_15", "8_10", "8_5",
-                "2_15", "2_10", "2_5")]
+               EVAL_DIR_TOKENS]
 EVAL_DIRS_6 = EVAL_DIRS_9[:6]
 FLEX_RTGS = [1.5, 3, 3.5, 4, 4.5]  # main.py:198
 
 
-def _load_denoiser(path: str, dtype: str = "float32",
-                   packed: str = "none"):
-    import jax.numpy as jnp
-    from dt4image_restoration_tpu.models import UNetDenoiser
-    from dt4image_restoration_tpu.utils.checkpoint import (
-        load_unet_checkpoint, restore_checkpoint)
-    # 'none' = the exact direct path; 's2d' = space-to-depth packed 128^2
-    # stages (XLA); 'pallas' = fused whole-block Pallas kernels on them.
-    # All three run the SAME parameter tree (PARITY.md D14).
-    model = UNetDenoiser(
-        dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
-        packed={"none": False, "s2d": True, "pallas": "pallas"}[packed])
-    if os.path.isdir(path):
-        params = restore_checkpoint(path)
-    elif os.path.exists(path):
-        params = load_unet_checkpoint(path)
-    else:
-        print(f"WARNING: denoiser checkpoint {path!r} not found; "
-              "using random weights (smoke-test mode)", file=sys.stderr)
-        import jax
-        import jax.numpy as jnp
-        with jax.default_device(jax.local_devices(backend="cpu")[0]):
-            params = model.init(jax.random.PRNGKey(0),
-                                jnp.zeros((1, 128, 128, 1)),
-                                jnp.zeros((1,)))["params"]
-
-    def denoise(img, sigma):
-        return model.apply({"params": params}, img, sigma)
-
-    return denoise
-
-
-def _load_dt(cfg, path: str):
-    from dt4image_restoration_tpu.models.decision_transformer import (
-        init_dt_params, make_dt_apply)
-    from dt4image_restoration_tpu.utils.checkpoint import (
-        load_dt_checkpoint, restore_checkpoint)
-    if os.path.isdir(path):
-        params = restore_checkpoint(path)
-    elif os.path.exists(path):
-        params = load_dt_checkpoint(path)
-    else:
-        print(f"WARNING: DT checkpoint {path!r} not found; using random "
-              "weights (smoke-test mode)", file=sys.stderr)
-        import jax
-        with jax.default_device(jax.local_devices(backend="cpu")[0]):
-            params = init_dt_params(cfg, seed=0)
-    return make_dt_apply(cfg), params
+# Checkpoint loaders live in the package (shared with tools/); the CLI
+# names remain as thin aliases.
+from dt4image_restoration_tpu.utils.loaders import (  # noqa: E402
+    load_denoiser as _load_denoiser, load_dt as _load_dt)
 
 
 def cmd_train(args) -> None:
@@ -434,7 +391,10 @@ def _ensure_backend(platform: str) -> None:
         return
     if tpu_probe._env_forces_cpu():
         return
-    if not tpu_probe.tpu_reachable():
+    # Fail ONLY when the probe itself dies (the outage signature); a
+    # healthy non-TPU default backend (plain CPU/GPU machine) answers the
+    # probe and runs normally.
+    if tpu_probe.probe_backend() is None:
         raise SystemExit(
             "ERROR: the default accelerator backend is unreachable "
             "(axon tunnel outage? jax.devices() would hang forever). "

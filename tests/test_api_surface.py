@@ -58,7 +58,9 @@ DOCUMENTED = {
     "dt4image_restoration_tpu.utils.profiling": [
         "trace_if_enabled", "annotate", "StepTimer"],
     "dt4image_restoration_tpu.utils.tpu_probe": [
-        "tpu_reachable", "ensure_live_backend"],
+        "probe_backend", "tpu_reachable", "ensure_live_backend"],
+    "dt4image_restoration_tpu.utils.loaders": [
+        "load_denoiser", "load_dt"],
     "dt4image_restoration_tpu.serving": [
         "RestorationService", "RestorationRequest", "RestorationResult"],
     "dt4image_restoration_tpu.config": [

@@ -237,13 +237,14 @@ def test_trainer_watch_logs_param_and_grad_histograms(rng):
 def test_tpu_probe_backend_guard(monkeypatch, capsys):
     """ensure_live_backend (shared by every standalone bench/demo script)
     never lets a first device touch hang: already-CPU environments skip
-    the subprocess probe entirely, and a dead probe (tunnel outage) flips
-    the backend with tpu_unreachable flagged."""
+    the subprocess probe entirely, a DEAD probe (tunnel outage) flips the
+    backend with tpu_unreachable flagged, and a healthy non-TPU backend is
+    NOT an outage (left untouched, no flag)."""
     from dt4image_restoration_tpu.utils import tpu_probe
 
     # Suite env: conftest already forced jax_platforms=cpu -> forced path,
     # no subprocess probe (which costs its full timeout during outages).
-    monkeypatch.setattr(tpu_probe, "tpu_reachable",
+    monkeypatch.setattr(tpu_probe, "probe_backend",
                         lambda *a, **k: (_ for _ in ()).throw(
                             AssertionError("probe must not run when "
                                            "already on CPU")))
@@ -254,13 +255,21 @@ def test_tpu_probe_backend_guard(monkeypatch, capsys):
     on_cpu, unreachable = tpu_probe.ensure_live_backend(argv=["x", "--cpu"])
     assert on_cpu is True and unreachable is False
 
-    # Outage path: nothing forces CPU and the probe dies -> fallback with
+    # Outage path: nothing forces CPU and the probe DIES -> fallback with
     # tpu_unreachable True (and a stderr note).
     monkeypatch.setattr(tpu_probe, "_env_forces_cpu", lambda: False)
-    monkeypatch.setattr(tpu_probe, "tpu_reachable", lambda *a, **k: False)
+    monkeypatch.setattr(tpu_probe, "probe_backend", lambda *a, **k: None)
     on_cpu, unreachable = tpu_probe.ensure_live_backend(argv=[])
     assert on_cpu is True and unreachable is True
     assert "unreachable" in capsys.readouterr().err
+
+    # Healthy non-TPU default backends answer the probe: plain-CPU runs
+    # report on_cpu without the outage flag; a live GPU is kept.
+    monkeypatch.setattr(tpu_probe, "probe_backend", lambda *a, **k: "cpu")
+    assert tpu_probe.ensure_live_backend(argv=[]) == (True, False)
+    monkeypatch.setattr(tpu_probe, "probe_backend", lambda *a, **k: "gpu")
+    assert tpu_probe.ensure_live_backend(argv=[]) == (False, False)
+    assert "unreachable" not in capsys.readouterr().err
 
 
 def test_input_pipeline_bench_smoke(monkeypatch, capsys):
@@ -354,7 +363,8 @@ def test_headline_bench_tunnel_outage_fallback(monkeypatch, capsys):
     monkeypatch.setattr(bench, "SINGLE_REPEATS", 2)
     monkeypatch.setattr(bench, "BATCH_REPEATS", 2)
     monkeypatch.delenv("JAX_PLATFORMS", raising=False)  # force the probe
-    monkeypatch.setattr(bench, "_tpu_reachable", lambda: False)
+    from dt4image_restoration_tpu.utils import tpu_probe
+    monkeypatch.setattr(tpu_probe, "probe_backend", lambda *a, **k: None)
     bench.main()
     r = json_mod.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert r["extras"]["tpu_unreachable"] is True
@@ -392,6 +402,7 @@ def test_serving_bench_smoke(monkeypatch, capsys):
 
 
 def test_tpu_probe_times_out_fast():
-    """A hung backend init must be bounded by the probe timeout."""
-    import bench
-    assert bench._tpu_reachable(timeout_s=0.05) is False
+    """A hung backend init must be bounded by the probe timeout (a killed
+    child reads as a dead probe, not a live non-TPU backend)."""
+    from dt4image_restoration_tpu.utils import tpu_probe
+    assert tpu_probe.probe_backend(timeout_s=0.05) is None

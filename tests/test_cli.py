@@ -237,9 +237,10 @@ def test_cli_platform_guard(monkeypatch, tmp_path):
     falls back (main.py _ensure_backend)."""
     from dt4image_restoration_tpu.utils import tpu_probe
 
-    # Simulate an outage: nothing forces CPU and the probe is dead.
+    # Simulate an outage: nothing forces CPU and the probe is DEAD (a
+    # healthy non-TPU backend would answer and proceed normally).
     monkeypatch.setattr(tpu_probe, "_env_forces_cpu", lambda: False)
-    monkeypatch.setattr(tpu_probe, "tpu_reachable", lambda *a, **k: False)
+    monkeypatch.setattr(tpu_probe, "probe_backend", lambda *a, **k: None)
     with pytest.raises(SystemExit, match="--platform cpu"):
         cli.main(["--block_size", "18", "--n_embeds", "9", "eval",
                   "--rtg", "10", "--checkpoint", "/nonexistent.pt",

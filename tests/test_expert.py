@@ -89,9 +89,10 @@ def test_make_dataset_cli(tmp_path, monkeypatch, capsys):
     """tools/make_dataset.py end-to-end (stub prior): one JSON line with
     corpus paths, expert increment, and the requested eval dirs."""
     import tools.make_dataset as tool
-    import main as cli
+    from dt4image_restoration_tpu.utils import loaders
 
-    monkeypatch.setattr(cli, "_load_denoiser", lambda *a, **k: stub_denoise)
+    monkeypatch.setattr(loaders, "load_denoiser",
+                        lambda *a, **k: stub_denoise)
     rc = tool.main(["--out", str(tmp_path / "synth"), "--n_traj", "2",
                     "--ep_len", "2", "--eval", "--per_dir", "1", "--cpu"])
     assert rc == 0
@@ -141,3 +142,31 @@ def test_batched_recording_matches_sequential_rollout(tmp_path):
                        * 255).astype(np.uint8)
                 got = f[f"traj{i}/s{t}"][:]
                 assert np.abs(got.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_flex_corpus_labels_encode_achieved_gain(tmp_path):
+    """Flex task tokens condition on the DESIRED increment at eval time,
+    so the recorded label must encode the trajectory's ACHIEVED increment
+    (nearest rtg_* bucket) — a round-robin label would make the flex
+    conditioning pure noise."""
+    from dt4image_restoration_tpu.config import FLEX_TASKS
+
+    stats = record_expert_corpus(
+        str(tmp_path), stub_denoise, n_traj=4, ep_len=2, seed=0,
+        experiment="flex")
+    for i in range(4):
+        with open(os.path.join(stats["traj_dir"], f"traj_{i}.json")) as f:
+            traj = json.load(f)
+        gain = traj["RTG"][0]  # increment-to-go at step 0 == episode gain
+        expected = min(FLEX_TASKS,
+                       key=lambda t: abs(float(t.split("_", 1)[1]) - gain))
+        assert traj["Task"] == expected
+
+
+def test_rerun_clears_stale_trajectories(tmp_path):
+    """Re-recording into the same root with fewer trajectories must not
+    leave stale jsons referencing h5 keys the rewrite deleted."""
+    record_expert_corpus(str(tmp_path), stub_denoise, n_traj=3, ep_len=2)
+    stats = record_expert_corpus(str(tmp_path), stub_denoise, n_traj=1,
+                                 ep_len=2)
+    assert sorted(os.listdir(stats["traj_dir"])) == ["traj_0.json"]

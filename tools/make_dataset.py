@@ -58,12 +58,12 @@ def main(argv=None) -> int:
     from dt4image_restoration_tpu.utils.tpu_probe import ensure_live_backend
     ensure_live_backend(argv=["--cpu"] if args.cpu else [])
 
-    import main as cli
     from dt4image_restoration_tpu.data.expert import (
         make_eval_dirs, record_expert_corpus)
+    from dt4image_restoration_tpu.utils import loaders
 
     os.makedirs(args.out, exist_ok=True)
-    denoise = cli._load_denoiser(args.denoiser_ckpt)
+    denoise = loaders.load_denoiser(args.denoiser_ckpt)
     stats = record_expert_corpus(
         args.out, denoise, n_traj=args.n_traj, ep_len=args.ep_len,
         experiment=args.experiment, seed=args.seed,
