@@ -129,16 +129,22 @@ def record_expert_corpus(root: str, denoise: Callable, *,
     import h5py
     import jax
 
-    label_by_gain = tasks is None and str(experiment).startswith("flex")
     if tasks is None:
         tasks, _ = tasks_for_experiment(experiment)
+    # A flex-style rtg_* vocabulary (default OR passed explicitly) always
+    # labels by achieved gain: an rtg_* name carries no physics, and a
+    # round-robin rtg_* label would be uncorrelated with the outcome it
+    # is supposed to encode.
+    label_by_gain = all(str(t).startswith("rtg_") for t in tasks)
     traj_dir = os.path.join(root, "trajs")
     os.makedirs(traj_dir, exist_ok=True)
     # A rerun into the same --out with a smaller n_traj would otherwise
     # leave stale trajectory jsons pointing at h5 keys the 'w'-mode
-    # states.h5 rewrite just deleted.
+    # states.h5 rewrite just deleted. Only THIS recorder's traj_N.json
+    # files are removed — a directory holding a foreign (e.g. the
+    # download-gated real) corpus must not be wiped.
     for stale in os.listdir(traj_dir):
-        if stale.endswith(".json"):
+        if re.fullmatch(r"traj_\d+\.json", stale):
             os.remove(os.path.join(traj_dir, stale))
     h5_path = os.path.join(root, "states.h5")
 
@@ -259,6 +265,14 @@ def make_eval_dirs(root: str, *, per_dir: int = 7,
         base = seed + (zlib.crc32(d.encode()) % 1_000_003) * 1000
         full = os.path.join(root, "evaluation", "image_dir", "vanilla", d)
         os.makedirs(full, exist_ok=True)
+        # A rerun with a smaller per_dir/different seed must not leave
+        # higher-index records from the previous run (the evaluator
+        # averages the first seven per dir — mixed-seed aggregates would
+        # be silently wrong). Only THIS generator's img_{d}_sN.mat
+        # pattern is removed; foreign .mat records are preserved.
+        for stale in os.listdir(full):
+            if re.fullmatch(rf"img_{re.escape(d)}_s\d+\.mat", stale):
+                os.remove(os.path.join(full, stale))
         for i in range(per_dir):
             rec = make_mat_record(size=size, acceleration=acc,
                                   noise_sigma=noise, seed=base + i)

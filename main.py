@@ -390,6 +390,13 @@ def _ensure_backend(platform: str) -> None:
         jax.config.update("jax_platforms", "cpu")
         return
     if tpu_probe._env_forces_cpu():
+        # JAX_PLATFORMS=cpu in the env alone does NOT switch backends
+        # here — sitecustomize pre-imports jax pinned to the tunnel
+        # (CLAUDE.md) — so honor the env's intent explicitly, exactly
+        # like ensure_live_backend's forced path. Without this the run
+        # would silently stay on the TPU (and hang during an outage).
+        import jax
+        jax.config.update("jax_platforms", "cpu")
         return
     # Fail ONLY when the probe itself dies (the outage signature); a
     # healthy non-TPU default backend (plain CPU/GPU machine) answers the

@@ -77,3 +77,64 @@ def test_documented_names_exist(module):
     assert not missing, (
         f"{module} lost documented names {missing} — update docs/API.md "
         f"alongside the rename")
+
+
+def _documented_signatures():
+    """Parse docs/API.md table rows whose FIRST cell documents a call
+    signature — ``| `name(arg, kw=..., ...)` ...`` — and resolve each
+    name against the DOCUMENTED modules. Yields
+    (doc_line, callable, [documented arg names])."""
+    import os
+    import re
+
+    md = open(os.path.join(os.path.dirname(__file__), "..", "docs",
+                           "API.md")).read()
+    resolved = {}
+    for module, names in DOCUMENTED.items():
+        m = importlib.import_module(module)
+        for n in names:
+            resolved.setdefault(n, getattr(m, n))
+    for line in md.splitlines():
+        if not line.startswith("| `"):
+            continue
+        first_cell = line.split(" | ", 1)[0]
+        for name, args in re.findall(r"([A-Za-z_][\w.]*)\(([^)]*)\)",
+                                     first_cell):
+            obj = resolved.get(name.rsplit(".", 1)[-1])
+            if obj is None:
+                continue
+            tokens = []
+            for tok in args.split(","):
+                tok = tok.strip().split("=", 1)[0].strip()
+                if re.fullmatch(r"[A-Za-z_]\w*", tok):
+                    tokens.append(tok)
+            if tokens:
+                yield line, obj, tokens
+
+
+def test_documented_signatures_match():
+    """Signature-level doc-rot guard: every argument name documented in
+    an API.md signature cell must be a real parameter of that callable,
+    and the documented names must appear in the signature's order
+    (docs may OMIT parameters — `...` — but never misname or reorder
+    them, which would break a user's positional call)."""
+    import inspect
+
+    rows = list(_documented_signatures())
+    assert len(rows) >= 15, "API.md signature rows went missing"
+    problems = []
+    for line, obj, tokens in rows:
+        try:
+            params = list(inspect.signature(obj).parameters)
+        except (TypeError, ValueError):
+            continue
+        unknown = [t for t in tokens if t not in params]
+        if unknown:
+            problems.append(f"{line!r}: args {unknown} are not "
+                            f"parameters of {obj} {params}")
+            continue
+        order = [params.index(t) for t in tokens]
+        if order != sorted(order):
+            problems.append(f"{line!r}: documented order {tokens} != "
+                            f"signature order {params}")
+    assert not problems, "docs/API.md signature rot:\n" + "\n".join(problems)

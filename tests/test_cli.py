@@ -257,6 +257,28 @@ def test_cli_platform_guard(monkeypatch, tmp_path):
                   "--data_dirs", str(tmp_path / "missing")])
 
 
+def test_ensure_backend_env_cpu_flips_config(monkeypatch):
+    """JAX_PLATFORMS=cpu in the env alone does NOT switch backends
+    (sitecustomize pre-imports jax pinned to the tunnel — CLAUDE.md), so
+    _ensure_backend must call jax.config.update on the env-forces-CPU
+    path instead of returning early — otherwise the run silently stays
+    on the TPU and hangs during an outage."""
+    import jax
+
+    from dt4image_restoration_tpu.utils import tpu_probe
+
+    monkeypatch.setattr(tpu_probe, "_env_forces_cpu", lambda: True)
+    monkeypatch.setattr(
+        tpu_probe, "probe_backend",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("probe must not run when env forces CPU")))
+    calls = []
+    monkeypatch.setattr(jax.config, "update",
+                        lambda k, v: calls.append((k, v)))
+    cli._ensure_backend("default")
+    assert ("jax_platforms", "cpu") in calls
+
+
 def test_cli_data_root_reroots_default_dirs(tmp_path, capsys):
     """--data_root points the DEFAULT nine-dir list at another root (the
     layout tools/make_dataset.py --eval writes): present dirs evaluate,

@@ -165,8 +165,50 @@ def test_flex_corpus_labels_encode_achieved_gain(tmp_path):
 
 def test_rerun_clears_stale_trajectories(tmp_path):
     """Re-recording into the same root with fewer trajectories must not
-    leave stale jsons referencing h5 keys the rewrite deleted."""
+    leave stale jsons referencing h5 keys the rewrite deleted — but only
+    the recorder's OWN traj_N.json files may be wiped (a foreign corpus
+    sharing the layout must survive)."""
     record_expert_corpus(str(tmp_path), stub_denoise, n_traj=3, ep_len=2)
+    foreign = os.path.join(str(tmp_path), "trajs", "real_corpus_0.json")
+    with open(foreign, "w") as f:
+        f.write("{}")
     stats = record_expert_corpus(str(tmp_path), stub_denoise, n_traj=1,
                                  ep_len=2)
-    assert sorted(os.listdir(stats["traj_dir"])) == ["traj_0.json"]
+    assert sorted(os.listdir(stats["traj_dir"])) == [
+        "real_corpus_0.json", "traj_0.json"]
+
+
+def test_flex_labeling_applies_to_explicit_rtg_vocab(tmp_path):
+    """Passing the flex vocabulary explicitly via tasks= must behave like
+    the default: rtg_* names carry no physics, so labels still encode the
+    achieved gain (round-robin would silently revert the conditioning to
+    noise)."""
+    from dt4image_restoration_tpu.config import FLEX_TASKS
+
+    stats = record_expert_corpus(
+        str(tmp_path), stub_denoise, n_traj=3, ep_len=2, seed=0,
+        experiment="flex", tasks=list(FLEX_TASKS))
+    for i in range(3):
+        with open(os.path.join(stats["traj_dir"], f"traj_{i}.json")) as f:
+            traj = json.load(f)
+        gain = traj["RTG"][0]
+        expected = min(FLEX_TASKS,
+                       key=lambda t: abs(float(t.split("_", 1)[1]) - gain))
+        assert traj["Task"] == expected
+
+
+def test_eval_dirs_rerun_clears_stale_records(tmp_path):
+    """Regenerating an eval dir with a smaller per_dir must not leave
+    higher-index records from the previous run (the evaluator averages
+    the first seven per dir — a mixed-seed aggregate would be silently
+    wrong); foreign .mat files are preserved."""
+    from dt4image_restoration_tpu.data.expert import make_eval_dirs
+
+    (full,) = make_eval_dirs(str(tmp_path), per_dir=3, dirs=["4_15"],
+                             size=32, seed=0)
+    with open(os.path.join(full, "real_slice.mat"), "wb") as f:
+        f.write(b"\x00")
+    make_eval_dirs(str(tmp_path), per_dir=1, dirs=["4_15"], size=32,
+                   seed=1)
+    assert sorted(os.listdir(full)) == ["img_4_15_s0.mat",
+                                       "real_slice.mat"]
