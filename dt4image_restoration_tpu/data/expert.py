@@ -113,13 +113,15 @@ def record_expert_corpus(root: str, denoise: Callable, *,
     on). Returns stats including the expert's mean PSNR increment — the
     target a trained policy should recover.
 
-    For the flex experiment (default vocab) the ``rtg_*`` task token must
-    encode the trajectory's ACHIEVED increment — at eval time the token is
-    derived from the desired increment (datasets.py flex tokenization), so
-    a label uncorrelated with the outcome would make the conditioning pure
-    noise. Flex recording therefore cycles the nine optimal physics
-    conditions for difficulty spread and labels each trajectory post hoc
-    with the nearest ``rtg_*`` bucket to its measured gain.
+    With an ``rtg_*`` vocabulary (the flex default, or passed explicitly)
+    the task token must encode the trajectory's ACHIEVED increment — at
+    eval time the token is derived from the desired increment
+    (datasets.py flex tokenization), so a label uncorrelated with the
+    outcome would make the conditioning pure noise. Flex recording
+    therefore cycles the nine optimal physics conditions for difficulty
+    spread (unless ``physics_from_task`` is off) and labels each
+    trajectory post hoc with the nearest ``rtg_*`` bucket to its
+    measured gain.
 
     Recording is batched: ``expert_fn`` depends only on the step index, so
     episodes roll ``batch_chunk`` trajectories at a time as one scanned
@@ -184,8 +186,9 @@ def record_expert_corpus(root: str, denoise: Callable, *,
                     from dt4image_restoration_tpu.config import (
                         OPTIMAL_TASKS)
                     chunk_tasks.append(None)
-                    acc, noise = task_physics(
+                    acc, noise = (task_physics(
                         OPTIMAL_TASKS[i % len(OPTIMAL_TASKS)])
+                        if physics_from_task else (4, 0.0))
                 else:
                     task = tasks[i % len(tasks)]
                     chunk_tasks.append(task)

@@ -272,6 +272,30 @@ def test_tpu_probe_backend_guard(monkeypatch, capsys):
     assert "unreachable" not in capsys.readouterr().err
 
 
+def test_policy_learning_demo_smoke(monkeypatch, capsys):
+    """benchmarks/policy_learning_demo.py end-to-end at toy sizes (CPU):
+    record -> train -> held-out greedy eval -> device search -> one JSON
+    line. Guards the demo's wiring (a recorder refactor once left an
+    undefined name on the eval path, crashing after training)."""
+    import json as json_mod
+    import benchmarks.policy_learning_demo as demo
+
+    monkeypatch.setattr(demo, "N_TRAJ", 2)
+    monkeypatch.setattr(demo, "EP_LEN", 2)
+    monkeypatch.setattr(demo, "TRAIN_STEPS", 2)
+    monkeypatch.setattr(demo, "BATCH", 2)
+    monkeypatch.setattr(demo, "HELD_OUT", 1)
+    monkeypatch.setattr(demo, "SEARCH_ITERS", 2)
+    monkeypatch.setattr(demo, "IMAGE_SIZE", 32)
+    monkeypatch.setattr("sys.argv", ["policy_learning_demo.py"])
+    demo.main()
+    r = json_mod.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    for k in ("expert_increment_db", "loss_last10", "trained_increment_db",
+              "random_init_increment_db", "trained_mcts_increment_db"):
+        assert k in r, k
+    assert r["train_steps"] == 2
+
+
 def test_input_pipeline_bench_smoke(monkeypatch, capsys):
     """benchmarks/input_pipeline_bench.py end-to-end on a tiny corpus
     (CPU): corpus build -> TrainingDataset -> warm (both donated-state
