@@ -28,6 +28,16 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+LOOP_LO, LOOP_HI = 10, 60  # fori_loop lengths for the slope timing
+# (name, H, Cin, Cout) of the shallow U-Net ConvBlocks under test.
+BLOCKS = (("inc", 128, 32, 32), ("up4", 128, 96, 32),
+          ("down1", 64, 64, 64), ("up3", 64, 192, 64))
+# (dtype name, (Cin, Cout, H, key)) for the fused-Pallas real-block A/B.
+PALLAS_CONFIGS = (("f32", (2, 32, 128, "increal")),
+                  ("bf16", (2, 32, 128, "increal")),
+                  ("f32", (96, 32, 128, "up4real")),
+                  ("bf16", (96, 32, 128, "up4real")))
+
 
 def time_fn(fn, *args):
     import jax
@@ -50,7 +60,7 @@ def time_fn(fn, *args):
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    lo, hi = 10, 60
+    lo, hi = LOOP_LO, LOOP_HI
     return (wall(hi) - wall(lo)) / (hi - lo)
 
 
@@ -106,10 +116,8 @@ def main() -> None:
     results["rewrites_correct"] = True
 
     # --- block-level A/B: the 3-conv LeakyReLU blocks ---------------------
-    blocks = [("inc", 128, 32, 32), ("up4", 128, 96, 32),
-              ("down1", 64, 64, 64), ("up3", 64, 192, 64)]
     for dt_name, dt in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
-        for name, h, cin, cout in blocks:
+        for name, h, cin, cout in BLOCKS:
             x = jnp.asarray(rng.standard_normal((B, h, h, cin)), dt)
             w1 = jnp.asarray(
                 0.05 * rng.standard_normal((3, 3, cin, cout)), dt)
@@ -166,11 +174,8 @@ def main() -> None:
     # instead of XLA's per-conv HBM round trips.
     from dt4image_restoration_tpu.ops.pallas import fused_conv_block
 
-    for dt_name, dt, (cin, cout, h, key_base) in (
-            ("f32", jnp.float32, (2, 32, 128, "increal")),
-            ("bf16", jnp.bfloat16, (2, 32, 128, "increal")),
-            ("f32", jnp.float32, (96, 32, 128, "up4real")),
-            ("bf16", jnp.bfloat16, (96, 32, 128, "up4real"))):
+    for dt_name, (cin, cout, h, key_base) in PALLAS_CONFIGS:
+        dt = jnp.float32 if dt_name == "f32" else jnp.bfloat16
         x = jnp.asarray(rng.standard_normal((B, h, h, cin)), dt)
         ws = [jnp.asarray(0.05 * rng.standard_normal(
             (3, 3, cin if i == 0 else cout, cout)), dt) for i in range(3)]

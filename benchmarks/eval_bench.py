@@ -17,6 +17,14 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+N_IMAGES = 7        # the reference's per-directory reporting unit
+MAX_T = 30
+SEARCH_ITERS = 30
+IMAGE_SIZE = 128
+TREE_BATCHES = (16, 32)
+EVAL_BATCHES = (16, 32, 64, 128)
+KNEE_BATCHES = (64, 128)  # node-dtype sweep past the f32 knee
+
 
 def main() -> None:
     import jax
@@ -48,7 +56,7 @@ def main() -> None:
     def records(n):
         out = []
         for i in range(n):
-            mat = dict(make_mat_record(seed=i))
+            mat = dict(make_mat_record(size=IMAGE_SIZE, seed=i))
             # Dataset semantics: policy state from the UNCLIPPED x0, env
             # record clipped (datasets.py parity).
             states = mat["x0"][..., 0].reshape(1, -1).astype(np.float32)
@@ -60,28 +68,30 @@ def main() -> None:
 
     # --- config 2: greedy DT eval (7-image batch like the reference's
     # reporting unit, eval.py:137-143) ------------------------------------
-    cfg = ModelConfig(block_size=18, n_embeds=9, mode="norm")
+    cfg = ModelConfig(block_size=18, n_embeds=9, mode="norm",
+                      image_size=IMAGE_SIZE)
     dt_params = init_dt_params(cfg, seed=0)
     dt_apply = make_dt_apply(cfg)
     ev = Evaluator(dt_apply=dt_apply, dt_params=dt_params, denoise=denoise,
-                   cfg=cfg, max_timesteps=30)
-    recs = records(7)
+                   cfg=cfg, max_timesteps=MAX_T)
+    recs = records(N_IMAGES)
     ev.evaluate_records(recs)  # compile
     t0 = time.perf_counter()
     m = ev.evaluate_records(recs)
     dt_wall = time.perf_counter() - t0
     results["greedy_eval_7img_s"] = round(dt_wall, 3)
-    results["greedy_eval_images_per_sec"] = round(7 / dt_wall, 2)
+    results["greedy_eval_images_per_sec"] = round(N_IMAGES / dt_wall, 2)
     results["greedy_eval_mean_episode_len"] = float(
         np.mean(m["episode_len"]))
 
     # --- config 3: flex decode (same program, flex head mapping) ---------
-    cfg_f = ModelConfig(block_size=18, n_embeds=6, mode="flex")
+    cfg_f = ModelConfig(block_size=18, n_embeds=6, mode="flex",
+                        image_size=IMAGE_SIZE)
     ev_f = Evaluator(dt_apply=make_dt_apply(cfg_f),
                      dt_params=init_dt_params(cfg_f, seed=0),
-                     denoise=denoise, cfg=cfg_f, max_timesteps=30,
+                     denoise=denoise, cfg=cfg_f, max_timesteps=MAX_T,
                      eval_type="flex")
-    recs_f = records(7)
+    recs_f = records(N_IMAGES)
     ev_f.evaluate_records(recs_f)
     t0 = time.perf_counter()
     ev_f.evaluate_records(recs_f)
@@ -90,7 +100,7 @@ def main() -> None:
     # --- config 4: MCTS (30 search iterations) ---------------------------
     from dt4image_restoration_tpu.inference.mcts import BatchedMCTS
     mcts = MCTS(dt_apply=dt_apply, dt_params=dt_params, denoise=denoise,
-                model_cfg=cfg, cfg=MCTSConfig(iterations=30),
+                model_cfg=cfg, cfg=MCTSConfig(iterations=SEARCH_ITERS),
                 value_fn=proxy_value_fn)
     rec = records(1)[0]
     mcts.run(rec, seed=0)  # compile
@@ -101,32 +111,32 @@ def main() -> None:
     # Lockstep trees: a whole directory's images in one batched search.
     bm = BatchedMCTS(dt_apply=dt_apply, dt_params=dt_params,
                      denoise=denoise, model_cfg=cfg,
-                     cfg=MCTSConfig(iterations=30),
+                     cfg=MCTSConfig(iterations=SEARCH_ITERS),
                      value_fn=proxy_value_fn)
-    recs7 = records(7)
+    recs7 = records(N_IMAGES)
     bm.run_batch(recs7)  # compile (new batch shape)
     t0 = time.perf_counter()
-    bm.run_batch(recs7, seeds=list(range(7)))
+    bm.run_batch(recs7, seeds=list(range(N_IMAGES)))
     wall = time.perf_counter() - t0
     results["mcts_batched_7img_s"] = round(wall, 3)
-    results["mcts_batched_s_per_image"] = round(wall / 7, 3)
+    results["mcts_batched_s_per_image"] = round(wall / N_IMAGES, 3)
 
     # Device-resident tree: the WHOLE 30-iteration search for all 7 images
     # is ONE XLA program (inference/mcts_device.py).
     from dt4image_restoration_tpu.inference.mcts_device import DeviceMCTS
     dm = DeviceMCTS(dt_apply=dt_apply, dt_params=dt_params,
                     denoise=denoise, model_cfg=cfg,
-                    cfg=MCTSConfig(iterations=30),
+                    cfg=MCTSConfig(iterations=SEARCH_ITERS),
                     value_fn=proxy_value_fn)
     dm.run_batch(recs7)  # compile
     t0 = time.perf_counter()
-    dm.run_batch(recs7, seeds=list(range(7)))
+    dm.run_batch(recs7, seeds=list(range(N_IMAGES)))
     wall = time.perf_counter() - t0
     results["mcts_device_7img_s"] = round(wall, 3)
-    results["mcts_device_s_per_image"] = round(wall / 7, 3)
+    results["mcts_device_s_per_image"] = round(wall / N_IMAGES, 3)
 
     # Tree-batch scaling (memory: ~125 MB/tree of node states + buffers).
-    for b in (16, 32):
+    for b in TREE_BATCHES:
         recs_b = records(b)
         dm.run_batch(recs_b)  # compile (new batch shape)
         t0 = time.perf_counter()
@@ -144,15 +154,15 @@ def main() -> None:
     sd = random_arniqa_state_dict(0)
     am = DeviceMCTS(dt_apply=dt_apply, dt_params=dt_params,
                     denoise=denoise, model_cfg=cfg,
-                    cfg=MCTSConfig(iterations=30),
+                    cfg=MCTSConfig(iterations=SEARCH_ITERS),
                     value_fn=proxy_value_fn,
                     value_fn_jax=make_value_fn_jax(
                         convert_arniqa_state_dict(sd)))
     am.run_batch(recs7)  # compile
     t0 = time.perf_counter()
-    am.run_batch(recs7, seeds=list(range(7)))
+    am.run_batch(recs7, seeds=list(range(N_IMAGES)))
     results["mcts_device_arniqa_s_per_image"] = round(
-        (time.perf_counter() - t0) / 7, 3)
+        (time.perf_counter() - t0) / N_IMAGES, 3)
 
     # Full-length episodes — the trained-policy regime. Random weights stop
     # at t~2 (T > 0.5 fires early), flattering the numbers above; pin the
@@ -176,7 +186,7 @@ def main() -> None:
     # Guided-eval batch scaling at full episode length (the honest
     # throughput ceiling for the DT-guided path; the Evaluator passes
     # params per call, so the swap is fully effective).
-    for b in (16, 32, 64, 128):
+    for b in EVAL_BATCHES:
         recs_b = records(b)
         ev.evaluate_records(recs_b)  # compile (new batch shape)
         t0 = time.perf_counter()
@@ -188,13 +198,13 @@ def main() -> None:
     # bake the construction-time weights (see mcts.py _seed_bufs note).
     dm_full = DeviceMCTS(dt_apply=dt_apply, dt_params=full_params,
                          denoise=denoise, model_cfg=cfg,
-                         cfg=MCTSConfig(iterations=30),
+                         cfg=MCTSConfig(iterations=SEARCH_ITERS),
                          value_fn=proxy_value_fn)
     dm_full.run_batch(recs7)  # compile
     t0 = time.perf_counter()
-    r_f32 = dm_full.run_batch(recs7, seeds=list(range(7)), verbose=False)
+    r_f32 = dm_full.run_batch(recs7, seeds=list(range(N_IMAGES)), verbose=False)
     results["mcts_device_full30_s_per_image"] = round(
-        (time.perf_counter() - t0) / 7, 3)
+        (time.perf_counter() - t0) / N_IMAGES, 3)
 
     # bf16 guided-path QUALITY — the reference's autocast surface applied
     # to inference (main.py:37-40, env.py:52): identical full-30 weights,
@@ -202,23 +212,23 @@ def main() -> None:
     # delta vs the f32 runs above (throughput for bf16 is in bench.py).
     import jax.numpy as jnp
     cfg16 = ModelConfig(block_size=18, n_embeds=9, mode="norm",
-                        dtype="bfloat16")
+                        dtype="bfloat16", image_size=IMAGE_SIZE)
     den16 = UNetDenoiser(dtype=jnp.bfloat16)
 
     def denoise16(img, sig):
         return den16.apply({"params": den_params}, img, sig)
 
     ev16 = Evaluator(dt_apply=make_dt_apply(cfg16), dt_params=full_params,
-                     denoise=denoise16, cfg=cfg16, max_timesteps=30)
+                     denoise=denoise16, cfg=cfg16, max_timesteps=MAX_T)
     m16 = ev16.evaluate_records(recs)
     results["greedy_eval_full30_bf16_psnr_delta_db"] = round(
         float(np.mean(m16["reward"]) - np.mean(m["reward"])), 4)
 
     dm16 = DeviceMCTS(dt_apply=make_dt_apply(cfg16), dt_params=full_params,
                       denoise=denoise16, model_cfg=cfg16,
-                      cfg=MCTSConfig(iterations=30),
+                      cfg=MCTSConfig(iterations=SEARCH_ITERS),
                       value_fn=proxy_value_fn)
-    r_16 = dm16.run_batch(recs7, seeds=list(range(7)), verbose=False)
+    r_16 = dm16.run_batch(recs7, seeds=list(range(N_IMAGES)), verbose=False)
     results["mcts_device_full30_bf16_psnr_delta_db"] = round(
         float(np.mean(r_16) - np.mean(r_f32)), 4)
 
@@ -234,9 +244,9 @@ def main() -> None:
 
     dmn_full = DeviceMCTS(dt_apply=dt_apply, dt_params=full_params,
                           denoise=denoise, model_cfg=cfg,
-                          cfg=MCTSConfig(iterations=30),
+                          cfg=MCTSConfig(iterations=SEARCH_ITERS),
                           value_fn=proxy_value_fn, node_dtype="bfloat16")
-    r_n16 = dmn_full.run_batch(recs7, seeds=list(range(7)), verbose=False)
+    r_n16 = dmn_full.run_batch(recs7, seeds=list(range(N_IMAGES)), verbose=False)
     results["mcts_device_full30_nodebf16_psnr_delta_db"] = round(
         float(np.mean(r_n16) - np.mean(r_f32)), 4)
 
@@ -244,10 +254,10 @@ def main() -> None:
     # weights, early-stop episodes): f32 nodes vs bf16 nodes at B=64/128.
     dmn = DeviceMCTS(dt_apply=dt_apply, dt_params=dt_params,
                      denoise=denoise, model_cfg=cfg,
-                     cfg=MCTSConfig(iterations=30),
+                     cfg=MCTSConfig(iterations=SEARCH_ITERS),
                      value_fn=proxy_value_fn, node_dtype="bfloat16")
     for tag, searcher in (("f32", dm), ("nodebf16", dmn)):
-        for b in (64, 128):
+        for b in KNEE_BATCHES:
             recs_b = records(b)
             try:
                 searcher.run_batch(recs_b, verbose=False)  # compile

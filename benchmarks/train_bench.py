@@ -22,6 +22,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 BATCH = 48
 T = 6
+IMAGE_SIZE = 128
+REPS = 30
 
 
 def main() -> None:
@@ -41,8 +43,8 @@ def main() -> None:
                "tpu_unreachable": tpu_unreachable}
     rng = np.random.default_rng(0)
     batch = {
-        "states": rng.uniform(0, 1, (BATCH, T, 128 * 128)).astype(
-            np.float32),
+        "states": rng.uniform(
+            0, 1, (BATCH, T, IMAGE_SIZE * IMAGE_SIZE)).astype(np.float32),
         "actions": rng.uniform(0, 1, (BATCH, T, 3)).astype(np.float32),
         "rtg": rng.uniform(0, 1, (BATCH, T, 1)).astype(np.float32),
         "traj_masks": np.ones((BATCH, T, 1), np.float32),
@@ -55,7 +57,7 @@ def main() -> None:
 
     for dtype in ("float32", "bfloat16"):
         cfg = ModelConfig(block_size=18, n_embeds=9, mode="norm",
-                          dtype=dtype)
+                          dtype=dtype, image_size=IMAGE_SIZE)
         with jax.default_device(jax.local_devices(backend="cpu")[0]):
             params = jax.device_get(init_dt_params(cfg, seed=0))
         optimizer = make_optimizer(tcfg, max_steps=10_000, params=params)
@@ -68,7 +70,7 @@ def main() -> None:
 
         state, loss = step(state, dev_batch, key)  # compile
         float(np.asarray(loss))
-        reps = 30
+        reps = REPS
         t0 = time.perf_counter()
         for _ in range(reps):
             state, loss = step(state, dev_batch, key)

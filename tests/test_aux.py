@@ -272,6 +272,79 @@ def test_tpu_probe_backend_guard(monkeypatch, capsys):
     assert "unreachable" not in capsys.readouterr().err
 
 
+def test_eval_bench_smoke(monkeypatch, capsys):
+    """benchmarks/eval_bench.py end-to-end at toy sizes (CPU): every
+    config (greedy, flex, host/batched/device MCTS, ARNIQA-embedded,
+    full-30 regime, bf16 quality, node-dtype knee) wires up and the JSON
+    line carries the expected keys — guards the TPU sweep against rot in
+    a script nothing else executes."""
+    import json as json_mod
+    import benchmarks.eval_bench as bench
+
+    monkeypatch.setattr(bench, "N_IMAGES", 2)
+    monkeypatch.setattr(bench, "MAX_T", 6)  # must cover context_length
+    monkeypatch.setattr(bench, "SEARCH_ITERS", 2)
+    monkeypatch.setattr(bench, "IMAGE_SIZE", 32)
+    monkeypatch.setattr(bench, "TREE_BATCHES", (3,))
+    monkeypatch.setattr(bench, "EVAL_BATCHES", (3,))
+    monkeypatch.setattr(bench, "KNEE_BATCHES", (3,))
+    monkeypatch.setattr("sys.argv", ["eval_bench.py"])
+    bench.main()
+    r = json_mod.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    for k in ("greedy_eval_7img_s", "flex_eval_7img_s", "mcts_30iter_s",
+              "mcts_batched_s_per_image", "mcts_device_s_per_image",
+              "mcts_device_s_per_image_b3", "mcts_device_arniqa_s_per_image",
+              "greedy_eval_full30_7img_s",
+              "greedy_eval_full30_images_per_sec_b3",
+              "greedy_eval_full30_bf16_psnr_delta_db",
+              "mcts_device_full30_bf16_psnr_delta_db",
+              "mcts_device_full30_nodebf16_psnr_delta_db",
+              "mcts_device_f32_s_per_image_b3",
+              "mcts_device_nodebf16_s_per_image_b3"):
+        assert k in r, k
+
+
+def test_train_bench_smoke(monkeypatch, capsys):
+    """benchmarks/train_bench.py at toy sizes (CPU): the fused donated
+    train step compiles and times in f32 AND bf16, one JSON line."""
+    import json as json_mod
+    import benchmarks.train_bench as bench
+
+    monkeypatch.setattr(bench, "BATCH", 2)
+    monkeypatch.setattr(bench, "IMAGE_SIZE", 32)
+    monkeypatch.setattr(bench, "REPS", 2)
+    monkeypatch.setattr("sys.argv", ["train_bench.py"])
+    bench.main()
+    r = json_mod.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    for k in ("train_step_ms_f32", "train_step_ms_bf16",
+              "train_samples_per_sec_f32", "train_samples_per_sec_bf16"):
+        assert r[k] > 0
+
+
+def test_conv_probe_smoke(monkeypatch, capsys):
+    """benchmarks/conv_probe.py at toy sizes (CPU): the exactness asserts
+    of every conv rewrite run, both block A/Bs and one fused-Pallas config
+    (interpret mode) produce entries, one JSON line."""
+    import json as json_mod
+    import benchmarks.conv_probe as bench
+
+    monkeypatch.setenv("PROBE_BATCH", "2")
+    monkeypatch.setattr(bench, "LOOP_LO", 1)
+    monkeypatch.setattr(bench, "LOOP_HI", 3)
+    monkeypatch.setattr(bench, "BLOCKS", (("inc", 16, 3, 4),))
+    monkeypatch.setattr(bench, "PALLAS_CONFIGS",
+                        (("f32", (2, 8, 16, "increal")),))
+    monkeypatch.setattr("sys.argv", ["conv_probe.py"])
+    bench.main()
+    r = json_mod.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r["rewrites_correct"] is True
+    for k in ("inc_f32_direct_us", "inc_f32_s2dshift_speedup",
+              "inc_bf16_s2ddense_speedup"):
+        assert k in r, k
+    assert ("increal_f32_pallas_us" in r
+            or "increal_f32_pallas_error" in r)
+
+
 def test_policy_learning_demo_smoke(monkeypatch, capsys):
     """benchmarks/policy_learning_demo.py end-to-end at toy sizes (CPU):
     record -> train -> held-out greedy eval -> device search -> one JSON
