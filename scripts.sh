@@ -40,6 +40,14 @@ python benchmarks/policy_learning_demo.py
 #pallas-vs-XLA kernel benchmark
 python benchmarks/pallas_bench.py
 
+#U-Net shallow-conv layout probe (direct vs space-to-depth vs fused Pallas
+#on the real block shapes; PROBE_BATCH=128 for the knee regime)
+python benchmarks/conv_probe.py
+
+#first command when the gated published checkpoints land: convert strictly,
+#run all four modes in BOTH frameworks, emit the per-mode ddB parity table
+python tools/validate_parity.py --dt model_experiment_2.pt --unet unet-nm.pt
+
 #training input pipeline at dataset scale (410-trajectory json+h5 corpus
 #through background_batches + prefetch_shard; --cpu = tunnel-free control)
 python benchmarks/input_pipeline_bench.py
