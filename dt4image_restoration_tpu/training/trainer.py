@@ -136,8 +136,18 @@ class Trainer:
     # ^ (params, batch, rng) -> grads (make_watch_grad_fn): enables the
     # wandb.watch(model) equivalent — param + grad histograms logged every
     # config.watch_every steps (reference train.py:138).
+    async_save: bool = False
+    # ^ epoch checkpoints go through utils.checkpoint.AsyncCheckpointSaver
+    # (one background writer; the loop never stalls on checkpoint IO).
+    # The preemption save stays SYNCHRONOUS — the process may die right
+    # after it — and _finalize waits for every queued save.
 
     def __post_init__(self):
+        self._saver = None
+        if self.async_save:
+            from dt4image_restoration_tpu.utils.checkpoint import (
+                AsyncCheckpointSaver)
+            self._saver = AsyncCheckpointSaver()
         self._wandb = None
         if self.config.log_wandb and os.environ.get("WANDB_API_KEY"):
             try:
@@ -254,13 +264,13 @@ class Trainer:
                     and jax.process_index() == 0):
                 from dt4image_restoration_tpu.utils.checkpoint import (
                     save_checkpoint)
-                save_checkpoint(
-                    os.path.join(self.checkpoint_dir, f"model_{epoch}"),
-                    jax.device_get(self.state.params))
+                save = (self._saver.submit if self._saver
+                        else save_checkpoint)
+                save(os.path.join(self.checkpoint_dir, f"model_{epoch}"),
+                     jax.device_get(self.state.params))
                 # Full state (params + opt state + step) for resume.
-                save_checkpoint(
-                    os.path.join(self.checkpoint_dir, "state_latest"),
-                    jax.device_get(self.state))
+                save(os.path.join(self.checkpoint_dir, "state_latest"),
+                     jax.device_get(self.state))
         return self._finalize(losses)
 
     def _log_watch(self, params, grads) -> None:
@@ -281,7 +291,10 @@ class Trainer:
 
     def _finalize(self, losses) -> TrainState:
         """Common exit path (normal completion AND preemption stop):
-        flush wandb, record tail losses, log step timing."""
+        drain queued async saves (re-raising a failed one), flush wandb,
+        record tail losses, log step timing."""
+        if self._saver:
+            self._saver.close()
         if self._wandb:
             self._wandb.finish()
         self.last_losses = [float(l) for l in losses[-10:]]
@@ -292,6 +305,12 @@ class Trainer:
         if self.checkpoint_dir and jax.process_index() == 0:
             from dt4image_restoration_tpu.utils.checkpoint import (
                 save_checkpoint)
+            if self._saver:
+                # Drain queued epoch saves FIRST: a stale queued
+                # state_latest must not land after (and overwrite) the
+                # fresher preemption save below.
+                self._saver.wait()
+            # Synchronous on purpose — the process may die right after.
             save_checkpoint(
                 os.path.join(self.checkpoint_dir, "state_latest"),
                 jax.device_get(self.state))

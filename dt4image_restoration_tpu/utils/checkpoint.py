@@ -374,3 +374,37 @@ def restore_checkpoint(path: str, like: Any = None) -> Any:
         if like is None:
             return ckptr.restore(os.path.abspath(path))
         return ckptr.restore(os.path.abspath(path), target=like)
+
+
+class AsyncCheckpointSaver:
+    """Non-blocking :func:`save_checkpoint`: serialization + disk write
+    happen on ONE background worker so the training loop never stalls on
+    checkpoint IO (the reference's ``torch.save`` blocks the epoch loop,
+    train.py:122-152). Pass HOST pytrees (``jax.device_get`` first — the
+    cheap sync point); the single worker serializes overlapping saves to
+    the same path in submission order. Call :meth:`wait` before restoring
+    a just-saved path or exiting the process; a worker exception surfaces
+    there (and is re-raised rather than silently losing a checkpoint)."""
+
+    def __init__(self) -> None:
+        import concurrent.futures as cf
+        self._ex = cf.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="ckpt_saver")
+        self._futures: list = []
+
+    def submit(self, path: str, pytree: Any):
+        """Queue a save; returns the Future (already tracked for wait)."""
+        fut = self._ex.submit(save_checkpoint, path, pytree)
+        self._futures.append(fut)
+        return fut
+
+    def wait(self) -> None:
+        """Block until every submitted save is durable; re-raises the
+        first worker failure."""
+        futs, self._futures = self._futures, []
+        for f in futs:
+            f.result()
+
+    def close(self) -> None:
+        self.wait()
+        self._ex.shutdown()

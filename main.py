@@ -103,6 +103,7 @@ def cmd_train(args) -> None:
         shard=lambda b: shard_batch(b, mesh),
         checkpoint_dir=tcfg.checkpoint_dir,
         resume_from=args.resume,
+        async_save=args.async_save,
         # wandb.watch(model) equivalent (reference train.py:138); only
         # called on watch steps when wandb is active.
         watch_grad_fn=make_watch_grad_fn(make_dt_apply(cfg, train=True)))
@@ -317,6 +318,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="compute dtype (bfloat16 = the reference's autocast)")
+    t.add_argument("--async_save", action="store_true",
+                   help="epoch checkpoints on a background writer (the "
+                        "loop never stalls on checkpoint IO; preemption "
+                        "saves stay synchronous)")
     t.add_argument("--preload_data", action="store_true",
                    help="cache parsed trajectories + uint8 states once and "
                         "assemble batch states with the native C++ gather "

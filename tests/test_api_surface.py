@@ -52,7 +52,7 @@ DOCUMENTED = {
         "convert_unet_state_dict", "convert_dt_state_dict",
         "export_unet_state_dict", "export_dt_state_dict",
         "save_torch_checkpoint",
-        "save_checkpoint", "restore_checkpoint"],
+        "save_checkpoint", "restore_checkpoint", "AsyncCheckpointSaver"],
     "dt4image_restoration_tpu.utils.compile_cache": [
         "enable_persistent_cache"],
     "dt4image_restoration_tpu.utils.profiling": [

@@ -100,6 +100,70 @@ def test_trainer_resume(tmp_path, rng):
     assert int(final2.step) == 2
 
 
+def test_trainer_async_save_roundtrip(tmp_path, rng):
+    """Trainer(async_save=True): epoch checkpoints go through the
+    background saver, _finalize drains the queue, and the written
+    state_latest restores to EXACTLY the returned final state (including
+    the drain-before-preemption-save ordering rule)."""
+    from dt4image_restoration_tpu.training import (
+        TrainState, Trainer, make_optimizer, make_train_step)
+    from dt4image_restoration_tpu.utils.checkpoint import (
+        restore_checkpoint)
+
+    cfg = ModelConfig(block_size=18, n_embeds=9, dropout=0.0,
+                      embd_dropout=0.0)
+    params = init_dt_params(cfg, seed=0)
+    tcfg = TrainerConfig(max_epochs=2, save_every=1, batch_size=2)
+    optimizer = make_optimizer(tcfg, max_steps=10, params=params)
+    step_fn = make_train_step(make_dt_apply(cfg, train=True), optimizer)
+
+    def batches(_):
+        r, s, ts, task, a = _inputs(rng)
+        yield {"rtg": np.asarray(r), "states": np.asarray(s),
+               "timesteps": np.asarray(ts), "task": np.asarray(task),
+               "actions": np.asarray(a),
+               "traj_masks": np.ones((2, 6, 1), np.float32)}
+
+    state = TrainState(params=params, opt_state=optimizer.init(params),
+                       step=jnp.zeros((), jnp.int32))
+    trainer = Trainer(train_step=step_fn, state=state, config=tcfg,
+                      batches=batches, shard=lambda b: b,
+                      checkpoint_dir=str(tmp_path), async_save=True)
+    final = trainer.train()
+    assert int(final.step) == 2
+    assert os.path.isdir(tmp_path / "model_0")  # epochs are 0-indexed
+    assert os.path.isdir(tmp_path / "model_1")
+    restored = restore_checkpoint(str(tmp_path / "state_latest"),
+                                  like=jax.device_get(final))
+    assert int(restored.step) == 2
+    np.testing.assert_array_equal(
+        restored.params["predict_action"]["kernel"],
+        np.asarray(final.params["predict_action"]["kernel"]))
+
+
+def test_async_checkpoint_saver_orders_and_raises(tmp_path):
+    """AsyncCheckpointSaver: overlapping saves to ONE path land in
+    submission order (last write wins), and a worker failure re-raises on
+    wait() instead of silently losing the checkpoint."""
+    import pytest
+
+    from dt4image_restoration_tpu.utils.checkpoint import (
+        AsyncCheckpointSaver, restore_checkpoint)
+
+    saver = AsyncCheckpointSaver()
+    p = str(tmp_path / "ck")
+    for v in (1.0, 2.0, 3.0):
+        saver.submit(p, {"w": np.full((4,), v, np.float32)})
+    saver.wait()
+    np.testing.assert_array_equal(restore_checkpoint(p)["w"],
+                                  np.full((4,), 3.0, np.float32))
+
+    saver.submit("/proc/definitely/not/writable/ck", {"w": np.ones(2)})
+    with pytest.raises(Exception):
+        saver.wait()
+    saver.close()
+
+
 def test_trainer_preemption_checkpoint(tmp_path, rng):
     """SIGTERM mid-training (TPU preemption) saves full resume state at the
     next step boundary and returns cleanly; a fresh trainer resumes from

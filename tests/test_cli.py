@@ -141,6 +141,14 @@ def test_cli_train_smoke(train_fixture, tmp_path, capsys, monkeypatch):
     _run_train(train_fixture, tmp_path, capsys, monkeypatch)
 
 
+def test_cli_train_async_save_smoke(train_fixture, tmp_path, capsys,
+                                    monkeypatch):
+    """--async_save: checkpoints land through the background writer and
+    the run completes with the same artifacts as the sync path."""
+    _run_train(train_fixture, tmp_path, capsys, monkeypatch,
+               extra_args=("--async_save",))
+
+
 def test_cli_train_preload_smoke(train_fixture, tmp_path, capsys,
                                  monkeypatch):
     """--preload_data trains through the native-assembly fast path
