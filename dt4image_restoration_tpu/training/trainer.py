@@ -141,8 +141,14 @@ class Trainer:
     # (one background writer; the loop never stalls on checkpoint IO).
     # The preemption save stays SYNCHRONOUS — the process may die right
     # after it — and _finalize waits for every queued save.
+    keep_last: Optional[int] = None
+    # ^ retain only the newest N model_<epoch> checkpoints (None = keep
+    # all, the reference's unbounded per-epoch torch.save behavior,
+    # train.py:122-152). state_latest is never GC'd.
 
     def __post_init__(self):
+        if self.keep_last is not None and self.keep_last < 1:
+            raise ValueError(f"keep_last must be >= 1, got {self.keep_last}")
         self._saver = None
         if self.async_save:
             from dt4image_restoration_tpu.utils.checkpoint import (
@@ -271,7 +277,29 @@ class Trainer:
                 # Full state (params + opt state + step) for resume.
                 save(os.path.join(self.checkpoint_dir, "state_latest"),
                      jax.device_get(self.state))
+                if self.keep_last is not None:
+                    # Async: queued BEHIND this epoch's saves (same
+                    # worker), so GC only sees durable checkpoints.
+                    if self._saver:
+                        self._saver.defer(self._gc_checkpoints)
+                    else:
+                        self._gc_checkpoints()
         return self._finalize(losses)
+
+    def _gc_checkpoints(self) -> None:
+        """Delete model_<epoch> dirs beyond the newest ``keep_last``
+        (numeric order; state_latest untouched)."""
+        import re
+        import shutil
+        pat = re.compile(r"model_(\d+)$")
+        found = []
+        for name in os.listdir(self.checkpoint_dir):
+            m = pat.fullmatch(name)
+            if m and os.path.isdir(os.path.join(self.checkpoint_dir, name)):
+                found.append((int(m.group(1)), name))
+        for _, name in sorted(found)[:-self.keep_last]:
+            shutil.rmtree(os.path.join(self.checkpoint_dir, name),
+                          ignore_errors=True)
 
     def _log_watch(self, params, grads) -> None:
         """Log per-leaf parameter and gradient histograms under the

@@ -398,6 +398,14 @@ class AsyncCheckpointSaver:
         self._futures.append(fut)
         return fut
 
+    def defer(self, fn, *args):
+        """Queue an arbitrary callable BEHIND every save submitted so far
+        (same single worker) — e.g. retention GC that must only run once
+        the epoch's checkpoints are durable."""
+        fut = self._ex.submit(fn, *args)
+        self._futures.append(fut)
+        return fut
+
     def wait(self) -> None:
         """Block until every submitted save is durable; re-raises the
         first worker failure."""

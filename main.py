@@ -104,6 +104,7 @@ def cmd_train(args) -> None:
         checkpoint_dir=tcfg.checkpoint_dir,
         resume_from=args.resume,
         async_save=args.async_save,
+        keep_last=args.keep_last,
         # wandb.watch(model) equivalent (reference train.py:138); only
         # called on watch steps when wandb is active.
         watch_grad_fn=make_watch_grad_fn(make_dt_apply(cfg, train=True)))
@@ -318,6 +319,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="compute dtype (bfloat16 = the reference's autocast)")
+    t.add_argument("--keep_last", type=int, default=None,
+                   help="retain only the newest N model_<epoch> "
+                        "checkpoints (default: keep all, like the "
+                        "reference); state_latest is never removed")
     t.add_argument("--async_save", action="store_true",
                    help="epoch checkpoints on a background writer (the "
                         "loop never stalls on checkpoint IO; preemption "

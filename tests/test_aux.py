@@ -141,6 +141,48 @@ def test_trainer_async_save_roundtrip(tmp_path, rng):
         np.asarray(final.params["predict_action"]["kernel"]))
 
 
+@pytest.mark.parametrize("async_save", [False, True])
+def test_trainer_keep_last_retention(tmp_path, rng, async_save):
+    """keep_last retains only the newest N model_<epoch> dirs (sync and
+    async — async GC is queued behind the epoch's saves); state_latest
+    survives and restores to the final step."""
+    from dt4image_restoration_tpu.training import (
+        TrainState, Trainer, make_optimizer, make_train_step)
+    from dt4image_restoration_tpu.utils.checkpoint import (
+        restore_checkpoint)
+
+    cfg = ModelConfig(block_size=18, n_embeds=9, dropout=0.0,
+                      embd_dropout=0.0)
+    params = init_dt_params(cfg, seed=0)
+    tcfg = TrainerConfig(max_epochs=3, save_every=1, batch_size=2)
+    optimizer = make_optimizer(tcfg, max_steps=10, params=params)
+    step_fn = make_train_step(make_dt_apply(cfg, train=True), optimizer)
+
+    def batches(_):
+        r, s, ts, task, a = _inputs(rng)
+        yield {"rtg": np.asarray(r), "states": np.asarray(s),
+               "timesteps": np.asarray(ts), "task": np.asarray(task),
+               "actions": np.asarray(a),
+               "traj_masks": np.ones((2, 6, 1), np.float32)}
+
+    state = TrainState(params=params, opt_state=optimizer.init(params),
+                       step=jnp.zeros((), jnp.int32))
+    trainer = Trainer(train_step=step_fn, state=state, config=tcfg,
+                      batches=batches, shard=lambda b: b,
+                      checkpoint_dir=str(tmp_path), async_save=async_save,
+                      keep_last=2)
+    final = trainer.train()
+    kept = sorted(d for d in os.listdir(tmp_path) if d.startswith("model_"))
+    assert kept == ["model_1", "model_2"]
+    restored = restore_checkpoint(str(tmp_path / "state_latest"),
+                                  like=jax.device_get(final))
+    assert int(restored.step) == int(final.step) == 3
+
+    with pytest.raises(ValueError, match="keep_last"):
+        Trainer(train_step=step_fn, state=state, config=tcfg,
+                batches=batches, shard=lambda b: b, keep_last=0)
+
+
 def test_async_checkpoint_saver_orders_and_raises(tmp_path):
     """AsyncCheckpointSaver: overlapping saves to ONE path land in
     submission order (last write wins), and a worker failure re-raises on
