@@ -47,11 +47,16 @@ class CSMRIState(struct.PyTreeNode):
     """ADMM state for a batch of 128x128 CSMRI slices, canonical layout
     (B, 1, H, W[, 2]).
 
-    Mirrors the reference's state dict (env.py:71). ``x`` keeps a (zero)
-    imaginary component for shape/dtype stability under jit, matching the
-    reference where ``x`` is complex until the first denoiser application.
+    Mirrors the reference's state dict (env.py:71), except ``x`` is stored
+    REAL (B, 1, H, W): the reference keeps ``x`` complex until the first
+    denoiser write, but its imaginary plane is never read anywhere in the
+    loop (the denoiser input is ``Re(z - u)``, the FFT input is the real
+    denoiser output, observations/rewards use ``x.real``), so carrying it
+    was pure zero traffic — ~1/6 of the x/z/u scan-carry and DeviceMCTS
+    node-snapshot bytes, the search's dominant HBM cost (VERDICT r3
+    item 5). ``x_real`` is kept as the accessor surface.
     """
-    x: jnp.ndarray      # (B, 1, H, W, 2) float32 — current estimate (ri)
+    x: jnp.ndarray      # (B, 1, H, W) float32 — current estimate (real)
     z: jnp.ndarray      # (B, 1, H, W, 2) float32 — split variable (ri)
     u: jnp.ndarray      # (B, 1, H, W, 2) float32 — scaled dual (ri)
     mask: jnp.ndarray   # (B, 1, H, W) bool — k-space sampling mask
@@ -66,8 +71,8 @@ class CSMRIState(struct.PyTreeNode):
 
     @property
     def x_real(self) -> jnp.ndarray:
-        """(B, 1, H, W) real part of the current estimate."""
-        return self.x[..., 0]
+        """(B, 1, H, W) real current estimate (alias of ``x``)."""
+        return self.x
 
 
 Action = Mapping[str, jnp.ndarray]  # keys: 'T', 'mu', 'sigma_d'
@@ -90,13 +95,13 @@ def reset_from_mat(mat: Mapping[str, Any], image_size: Optional[int] = None
     def ri(arr):
         return jnp.asarray(arr, jnp.float32).reshape(-1, 1, s, s, 2)
 
-    x = ri(mat["x0"])
+    x0 = ri(mat["x0"])  # z keeps the record's full ri pair; x is real-only
     y0 = ri(mat["y0"])
     mask = jnp.asarray(mat["mask"]).reshape(-1, 1, s, s).astype(bool)
     gt = jnp.asarray(mat["gt"], jnp.float32).reshape(-1, 1, s, s)
-    b = x.shape[0]
+    b = x0.shape[0]
     return CSMRIState(
-        x=x, z=x, u=jnp.zeros_like(x), mask=mask, y0=y0, gt=gt,
+        x=x0[..., 0], z=x0, u=jnp.zeros_like(x0), mask=mask, y0=y0, gt=gt,
         T=jnp.zeros((b,), jnp.float32), done=jnp.zeros((b,), bool))
 
 
@@ -138,15 +143,15 @@ def admm_step(denoise: DenoiseFn, state: CSMRIState, action: Action,
     z_c = ifft2c(z_k)
     u_c = u_c + x_real - z_c
 
-    x_new = jnp.stack([x_real, jnp.zeros_like(x_real)], axis=-1)
     z_new = from_complex(z_c)
     u_new = from_complex(u_c)
 
-    keep = active[:, None, None, None, None]
+    keep4 = active[:, None, None, None]
+    keep5 = keep4[..., None]
     return state.replace(
-        x=jnp.where(keep, x_new, state.x),
-        z=jnp.where(keep, z_new, state.z),
-        u=jnp.where(keep, u_new, state.u),
+        x=jnp.where(keep4, x_real, state.x),
+        z=jnp.where(keep5, z_new, state.z),
+        u=jnp.where(keep5, u_new, state.u),
         T=jnp.where(active, state.T + 1.0 / 30.0, state.T),
         done=state.done | stop_now)
 

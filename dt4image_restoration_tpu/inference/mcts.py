@@ -248,7 +248,7 @@ class MCTS:
             t = jnp.broadcast_to(jnp.asarray(t, jnp.int32).reshape(-1),
                                  (b,))
             rows = jnp.arange(b)
-            ob = stepped_slot0.x[..., 0].reshape(b, -1)
+            ob = stepped_slot0.x.reshape(b, -1)
             new = bufs.replace(
                 states=bufs.states.at[rows, t].set(ob),
                 rtg=bufs.rtg.at[rows, t, 0].set(
@@ -327,7 +327,7 @@ class MCTS:
                 bufs_upd, action_dict, policy_rtg, maxt, t_vec,
                 encode=encode, dt_embed_apply=dt_embed_apply)
             return (action_vec, pred_rtg, probs, stepped, new_bufs,
-                    final.x[..., 0], ep_len)
+                    final.x, ep_len)
 
         # Raw (unjitted) iteration body: DeviceMCTS embeds it inside its
         # whole-search lax.scan (inference/mcts_device.py) so both backends
@@ -398,7 +398,7 @@ class MCTS:
             self.dt_params, node.env_state, bufs,
             {k: v for k, v in action_dict.items()},
             jnp.full((1,), node.policy_rtg, jnp.float32), node.time)
-        x = np.asarray(final.x[..., 0]).reshape(1, *final.x.shape[-3:-1])
+        x = np.asarray(final.x).reshape(1, *final.x.shape[-2:])
         return float(self.value_fn(x)), x, int(ep_len[0])
 
     # -- driver (mcts.py:212-258) ------------------------------------------
@@ -456,6 +456,19 @@ class MCTS:
         records, seeds, n_out = self._prepare_batch(records, seeds)
         rngs = [np.random.default_rng(s) for s in seeds]
         self.traces = [[] for _ in records] if self.record_trace else None
+        # On a multi-device mesh, per-node snapshots are held as HOST numpy
+        # and fetched at the iteration's existing single sync: an eager
+        # jnp.concatenate over differently-placed shards compiles to a
+        # partitioned XLA program *with collectives*, and two concurrently
+        # in-flight collective programs (the async ``_search_iter`` dispatch
+        # + the eager gather) can join the per-device execution queues in
+        # different orders — a cross-program rendezvous deadlock that
+        # XLA:CPU aborts (SIGABRT) after its 40 s termination timeout
+        # (root-caused round 4; JUDGE_CRASH_r03.log, RESULTS.md "Suite
+        # stability"). A numpy gather + one sharded device_put per
+        # iteration launches no collective program outside ``_search_iter``
+        # itself, whose dispatches are serialized by the result fetch.
+        multi_dev = self.mesh is not None and self.mesh.size > 1
 
         roots = []
         rewards_dicts: List[Dict[str, float]] = []
@@ -474,6 +487,10 @@ class MCTS:
                 env_state.x_real.reshape(1, -1),
                 jnp.asarray(rtg0).reshape(1),
                 jnp.asarray(task0).reshape(-1)[:1])
+            if multi_dev:  # host-resident snapshots (see multi_dev above)
+                root.bufs = jax.device_get(root.bufs)
+                root.env_state = jax.device_get(env_state)
+                root.policy_state = root.env_state
             root.s_visits = 1
             roots.append(root)
             rewards_dicts.append({})
@@ -515,9 +532,16 @@ class MCTS:
                 jnp.asarray(z[:, k:], jnp.float32))
             (action_vec, pred_rtg, probs, stepped, child_bufs_b,
              finals, ep_len) = out
-            # The iteration's single host sync.
-            action_vec_h, pred_rtg_h, probs_h, finals = jax.device_get(
-                (action_vec, pred_rtg, probs, finals))
+            # The iteration's single host sync. Multi-device meshes also
+            # fetch the node snapshots here (see multi_dev above).
+            if multi_dev:
+                (action_vec_h, pred_rtg_h, probs_h, finals, stepped,
+                 child_bufs_b) = jax.device_get(
+                    (action_vec, pred_rtg, probs, finals, stepped,
+                     child_bufs_b))
+            else:
+                action_vec_h, pred_rtg_h, probs_h, finals = jax.device_get(
+                    (action_vec, pred_rtg, probs, finals))
 
             for j, node in enumerate(leaves):
                 node.action = np.asarray(action_vec_h[j])
@@ -572,7 +596,16 @@ class MCTS:
 
 
 def _concat_pytrees(trees):
-    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *trees)
+    """Batch per-node pytrees along axis 0. Host numpy leaves (the
+    multi-device snapshot path — see ``run_batch``) concatenate on the
+    host: eager device concatenation over differently-placed shards
+    compiles a collective-bearing program, which must never race the
+    in-flight search dispatch (rendezvous deadlock, RESULTS.md)."""
+    def cat(*xs):
+        if all(isinstance(x, np.ndarray) for x in xs):
+            return np.concatenate(xs, axis=0)
+        return jnp.concatenate(xs, axis=0)
+    return jax.tree.map(cat, *trees)
 
 
 def _index_pytree(tree, i: int):

@@ -47,19 +47,20 @@ from dt4image_restoration_tpu.ops.image import (
 _VMEM_BUDGET_BYTES = 8 * 1024 * 1024
 
 
-def _pick_tile(h2: int, w2: int, k0: int, n: int, num_layers: int,
+def _pick_tile(h2: int, w2p: int, k0: int, n: int, num_layers: int,
                itemsize: int) -> int:
     """Largest divisor of h2 whose tile working set fits the budget:
     input window + two ping-pong intermediates + packed weights + the
-    f32 tap accumulator."""
+    f32 tap accumulator. ``w2p`` is the sublane-padded column extent."""
     w_bytes = 9 * (k0 * n + max(0, num_layers - 1) * n * n) * itemsize
+    w2 = w2p - 2
     best = None
     for th in range(1, h2 + 1):
         if h2 % th:
             continue
         rows_in = th + 2 * num_layers
-        est = (rows_in * (w2 + 2) * k0 * itemsize
-               + 2 * (rows_in - 2) * (w2 + 2) * n * itemsize
+        est = (rows_in * w2p * k0 * itemsize
+               + 2 * (rows_in - 2) * w2p * n * itemsize
                + (rows_in - 2) * w2 * n * 4   # f32 accumulator
                + 2 * th * w2 * n * itemsize   # pipelined out block
                + w_bytes)
@@ -165,40 +166,64 @@ def fused_conv_block(x: jnp.ndarray, weights, biases,
                              f"got {wk.shape}")
 
     h2, w2, n, k0 = h // 2, w // 2, 4 * feats, 4 * cin
+    # Mosaic requires the minor (lane) dim of every VMEM buffer the tap
+    # slices touch to be lane-aligned: a sub-128 trailing dim compiles to a
+    # strided memref slice that dies with a Mosaic internal error on real
+    # hardware (BENCH_r03: `memref<1x38x66x8xf32` for the increal block's
+    # k0 = 8). Pad the packed channel dims up to multiples of 128 — free on
+    # the MXU, which contracts K = 128 per pass regardless; the pad lanes
+    # carry zeros end to end (zero weights/bias, LeakyReLU(0) = 0).
+    np_ = -(-n // 128) * 128
+    k0p = -(-k0 // 128) * 128
     dt = x.dtype
+    itemsize = jnp.dtype(dt).itemsize
+    # The manual HBM->VMEM window copy needs a sublane-aligned column
+    # extent: a 66-col f32 DMA hangs the device (round-4 isolation probe;
+    # aligned DMAs and offset VMEM reads are both fine). Round the padded
+    # column extent up to the sublane tile (8 rows of 4 bytes).
+    sub = max(1, 32 // itemsize)
+    w2p = -(-(w2 + 2) // sub) * sub
     th = row_tile if row_tile else _pick_tile(
-        h2, w2, k0, n, num_layers, jnp.dtype(dt).itemsize)
+        h2, w2p, k0p, np_, num_layers, itemsize)
     if h2 % th:
         raise ValueError(f"row_tile {th} must divide H/2 = {h2}")
     rows_in = th + 2 * num_layers
 
     xp = space_to_depth(x)
     # Pre-pad: L zero cell-rows top/bottom (row-direction VALID halo
-    # source) and 1 zero cell-col each side (column SAME padding).
-    xp = jnp.pad(xp, ((0, 0), (num_layers, num_layers), (1, 1), (0, 0)))
-    wps = [pack_conv_weights(jnp.asarray(wk, dt), "dense").reshape(
-        9, -1, n) for wk in weights]
-    bps = [pack_conv_bias(jnp.asarray(bk, dt)).reshape(1, n)
-           for bk in biases]
+    # source), 1 zero cell-col left + (w2p - w2 - 1) right (column SAME
+    # padding plus the sublane alignment; taps never read past col w2+2),
+    # and the channel pad to the lane multiple.
+    xp = jnp.pad(xp, ((0, 0), (num_layers, num_layers),
+                      (1, w2p - w2 - 1), (0, k0p - k0)))
 
-    scratch = [pltpu.VMEM((rows_in, w2 + 2, k0), dt)]
-    scratch += [pltpu.VMEM((rows_in - 2, w2 + 2, n), dt)] * (
+    def pad_w(wp, rows):
+        return jnp.pad(wp, ((0, 0), (0, rows - wp.shape[1]),
+                            (0, np_ - n)))
+
+    wps = [pad_w(pack_conv_weights(jnp.asarray(wk, dt), "dense").reshape(
+        9, -1, n), k0p if i == 0 else np_) for i, wk in enumerate(weights)]
+    bps = [jnp.pad(pack_conv_bias(jnp.asarray(bk, dt)).reshape(1, n),
+                   ((0, 0), (0, np_ - n))) for bk in biases]
+
+    scratch = [pltpu.VMEM((rows_in, w2p, k0p), dt)]
+    scratch += [pltpu.VMEM((rows_in - 2, w2p, np_), dt)] * (
         2 if num_layers > 1 else 0)
     scratch += [pltpu.SemaphoreType.DMA(())]
 
     out = pl.pallas_call(
-        _make_kernel(num_layers, th, h2, w2, n, negative_slope),
+        _make_kernel(num_layers, th, h2, w2, np_, negative_slope),
         grid=(b, h2 // th),
         in_specs=(
             [pl.BlockSpec(memory_space=pl.ANY)]
             + [pl.BlockSpec(wp.shape, lambda i, j: (0, 0, 0),
                             memory_space=pltpu.VMEM) for wp in wps]
-            + [pl.BlockSpec((1, n), lambda i, j: (0, 0),
+            + [pl.BlockSpec((1, np_), lambda i, j: (0, 0),
                             memory_space=pltpu.VMEM) for _ in bps]),
-        out_specs=pl.BlockSpec((1, th, w2, n), lambda i, j: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((1, th, w2, np_), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h2, w2, n), dt),
+        out_shape=jax.ShapeDtypeStruct((b, h2, w2, np_), dt),
         scratch_shapes=scratch,
         interpret=interpret,
     )(xp, *wps, *bps)
-    return depth_to_space(out)
+    return depth_to_space(out[..., :n])

@@ -153,7 +153,7 @@ class RestorationService:
                 final, reward, ep_len, _ = greedy_rollout(
                     dt_apply, denoise, cfg, params, env_state, bufs,
                     action_dict, pred_rtg, max_timesteps)
-                return final.x[..., 0], reward, ep_len
+                return final.x, reward, ep_len
 
             self._program = jax.jit(run)
             self._dt_params = dt_params
@@ -174,7 +174,7 @@ class RestorationService:
                 final, _ = fixed_param_rollout(
                     denoise, env_state, mu, sigma_d, max_timesteps)
                 ep = jnp.full((env_state.batch,), max_timesteps, jnp.int32)
-                return final.x[..., 0], compute_reward(final), ep
+                return final.x, compute_reward(final), ep
 
             self._program = jax.jit(run_fixed)
 

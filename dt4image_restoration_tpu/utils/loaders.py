@@ -14,9 +14,18 @@ import sys
 
 
 def load_denoiser(path: str, dtype: str = "float32",
-                  packed: str = "none"):
+                  packed: str = "none", probe_hw: int = 128):
     """Build the plug-in prior: ``denoise(img, sigma)`` over a loaded (or
-    random-fallback) ``UNetDenoiser`` parameter tree."""
+    random-fallback) ``UNetDenoiser`` parameter tree.
+
+    ``packed='pallas'`` is probe-compiled once at load time on a
+    ``(1, probe_hw, probe_hw, 1)`` zero image (``probe_hw=0`` skips the
+    probe): Mosaic kernel failures otherwise only surface when the kernel
+    is lowered inside the first *evaluation* program — mid-directory on a
+    production run. A failed probe degrades to the ``s2d`` XLA path with a
+    loud stderr warning naming the compiler error instead of crashing
+    (same kernel + geometry => same Mosaic program, so a green probe means
+    the embedded compiles are green too)."""
     import jax.numpy as jnp
 
     from dt4image_restoration_tpu.models import UNetDenoiser
@@ -26,9 +35,13 @@ def load_denoiser(path: str, dtype: str = "float32",
     # 'none' = the exact direct path; 's2d' = space-to-depth packed 128^2
     # stages (XLA); 'pallas' = fused whole-block Pallas kernels on them.
     # All three run the SAME parameter tree (PARITY.md D14).
-    model = UNetDenoiser(
-        dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
-        packed={"none": False, "s2d": True, "pallas": "pallas"}[packed])
+    def build(packed_key):
+        return UNetDenoiser(
+            dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
+            packed={"none": False, "s2d": True,
+                    "pallas": "pallas"}[packed_key])
+
+    model = build(packed)
     if os.path.isdir(path):
         params = restore_checkpoint(path)
     elif os.path.exists(path):
@@ -38,9 +51,27 @@ def load_denoiser(path: str, dtype: str = "float32",
               "using random weights (smoke-test mode)", file=sys.stderr)
         import jax
         with jax.default_device(jax.local_devices(backend="cpu")[0]):
-            params = model.init(jax.random.PRNGKey(0),
-                                jnp.zeros((1, 128, 128, 1)),
-                                jnp.zeros((1,)))["params"]
+            # Init through the direct path: the parameter tree is identical
+            # across execution modes (pinned in test_pallas.py), and a
+            # Pallas-mode init would trace the kernel before the guarded
+            # probe below can catch a failure.
+            params = build("none").init(jax.random.PRNGKey(0),
+                                        jnp.zeros((1, 128, 128, 1)),
+                                        jnp.zeros((1,)))["params"]
+
+    if packed == "pallas" and probe_hw:
+        import jax
+        try:
+            jax.block_until_ready(model.apply(
+                {"params": params},
+                jnp.zeros((1, probe_hw, probe_hw, 1)), jnp.zeros((1,))))
+        except Exception as e:  # Mosaic/XLA compile or execute failure
+            print("WARNING: --unet_packed pallas failed its probe compile "
+                  f"at {probe_hw}x{probe_hw} "
+                  f"({type(e).__name__}: {str(e).splitlines()[0][:200]}); "
+                  "falling back to the XLA 's2d' packed path",
+                  file=sys.stderr)
+            model = build("s2d")
 
     def denoise(img, sigma):
         return model.apply({"params": params}, img, sigma)

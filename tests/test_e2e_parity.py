@@ -62,7 +62,7 @@ def _run_both(dt_sd, unet_sd, mat, rtg0, task_id, mode):
     final, reward, ep_len, _ = greedy_rollout(
         dt_apply, denoise, cfg, dt_params, env_state, bufs, action_dict,
         pred_rtg, MAXT)
-    return ref_x, ref_len, np.asarray(final.x[..., 0]), int(ep_len[0])
+    return ref_x, ref_len, np.asarray(final.x), int(ep_len[0])
 
 
 @pytest.mark.parametrize("image_seed,mode",

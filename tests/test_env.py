@@ -52,15 +52,19 @@ def test_admm_step_matches_reference_algebra(rng):
     den_t = torch.from_numpy(
         np.array(jnp.moveaxis(den, -1, 1))).to(torch.complex64)
     xt, zt, ut = torch_reference_step(
-        torch.from_numpy(_ri_to_c(state.x)),
+        torch.from_numpy(np.asarray(state.x)).to(torch.complex64),
         torch.from_numpy(_ri_to_c(state.z)),
         torch.from_numpy(_ri_to_c(state.u)),
         torch.from_numpy(np.array(state.mask)),
         torch.from_numpy(_ri_to_c(state.y0)),
         torch.tensor(0.3), den_t)
 
-    np.testing.assert_allclose(_ri_to_c(new.x), xt.numpy(),
+    # x is stored real (its imaginary plane is provably never read —
+    # env/pnp.py CSMRIState); the torch reference's x stays complex with
+    # zero imag here.
+    np.testing.assert_allclose(np.asarray(new.x), xt.numpy().real,
                                rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(xt.numpy().imag, 0.0, atol=1e-7)
     np.testing.assert_allclose(_ri_to_c(new.z), zt.numpy(),
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(_ri_to_c(new.u), ut.numpy(),
@@ -140,8 +144,9 @@ def test_reset_from_mat_infers_record_geometry():
     from dt4image_restoration_tpu.env.pnp import fixed_param_rollout
     mat = make_mat_record(size=64, seed=3)
     state = reset_from_mat(mat)
-    assert state.x.shape == (1, 1, 64, 64, 2)
+    assert state.x.shape == (1, 1, 64, 64)
+    assert state.z.shape == (1, 1, 64, 64, 2)
     final, _ = fixed_param_rollout(
         lambda img, sig: jnp.clip(img, 0, 1), state, 0.5, 15 / 255.0, 3)
-    assert final.x.shape == (1, 1, 64, 64, 2)
+    assert final.x.shape == (1, 1, 64, 64)
     assert np.isfinite(np.asarray(final.x)).all()

@@ -156,7 +156,7 @@ def test_expand_creates_batched_children(mcts):
     assert np.isfinite(pred_rtg)
     for c in node.children:
         assert c.time == 1
-        assert c.env_state.x.shape == (1, 1, 128, 128, 2)
+        assert c.env_state.x.shape == (1, 1, 128, 128)
     # Children with different sampled params must differ (branching
     # semantics — NOT the reference's aliasing bug, see mcts.py docstring).
     x0 = np.asarray(node.children[0].env_state.x)

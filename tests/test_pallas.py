@@ -228,3 +228,39 @@ def test_unet_pallas_packed_parity(rng):
     got = pall.apply(params, x, sigma)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=5e-5, atol=5e-5)
+
+
+def test_pallas_probe_failure_degrades_cli_to_s2d(monkeypatch, tmp_path,
+                                                  capsys):
+    """The production CLI surface must not crash mid-directory when the
+    fused kernel fails on real hardware (VERDICT r3 item 3): a load-time
+    probe compile catches the failure and degrades to the XLA 's2d' path
+    with a loud warning naming the error."""
+    from dt4image_restoration_tpu.ops.pallas import conv_block as pc
+    from dt4image_restoration_tpu.utils import loaders
+
+    def boom(*a, **k):
+        raise RuntimeError("Mosaic internal error (injected)")
+
+    monkeypatch.setattr(pc, "fused_conv_block", boom)
+    denoise = loaders.load_denoiser(str(tmp_path / "missing.pt"),
+                                    packed="pallas", probe_hw=48)
+    err = capsys.readouterr().err
+    assert "failed its probe compile" in err
+    assert "Mosaic internal error (injected)" in err
+    assert "s2d" in err
+    # The returned denoiser runs on the fallback path (would raise if it
+    # still routed through the broken kernel).
+    out = denoise(jnp.zeros((1, 48, 48, 1)), jnp.zeros((1,)))
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_pallas_probe_green_keeps_pallas(tmp_path, capsys):
+    """A green probe keeps the fused path: no degradation warning."""
+    from dt4image_restoration_tpu.utils import loaders
+    denoise = loaders.load_denoiser(str(tmp_path / "missing.pt"),
+                                    packed="pallas", probe_hw=48)
+    err = capsys.readouterr().err
+    assert "failed its probe compile" not in err
+    out = denoise(jnp.zeros((1, 48, 48, 1)), jnp.zeros((1,)))
+    assert np.isfinite(np.asarray(out)).all()
