@@ -60,3 +60,8 @@ python tools/make_dataset.py --out data_synth --n_traj 128 --eval
 #round-trip a native checkpoint back to the reference's torch layout
 python tools/export_checkpoint.py --model dt --in checkpoints/model_5 \
   --out model_export.pt --block_size 18
+
+#B=128 knee attribution: per-component slope timing of one ADMM iteration
+#(unet / fft / kspace / layout / psnr vs the fused full step)
+PROBE_BATCH=128 python benchmarks/knee_profile.py
+PROBE_BATCH=128 PROBE_DTYPE=bfloat16 python benchmarks/knee_profile.py
