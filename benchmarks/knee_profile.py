@@ -63,6 +63,37 @@ def time_fn(fn, *args):
     return (wall(LOOP_HI) - wall(LOOP_LO)) / (LOOP_HI - LOOP_LO)
 
 
+def time_rollout(step, carry0):
+    """Slope-time a loop that threads ``carry0`` through ``step`` — the
+    shipped rollout's own dependence structure. The feedback trick of
+    ``time_fn`` is WRONG for the full ADMM step: ``admm_step``'s output
+    does not depend on the previous ``x`` (the denoiser consumes
+    ``Re(z - u)``), so a perturbation injected via ``x`` is dead code and
+    XLA hoists the entire loop-invariant step out of the timing loop."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def run(n, carry):
+        return lax.fori_loop(0, n, lambda i, c: step(c), carry)
+
+    def wall(n, reps=2):
+        def fetch():
+            out = run(n, carry0)
+            return float(np.asarray(jnp.sum(
+                jax.tree.leaves(out)[0].astype(jnp.float32))))
+        fetch()  # compile + warm
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fetch()
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    return (wall(LOOP_HI) - wall(LOOP_LO)) / (LOOP_HI - LOOP_LO)
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -137,9 +168,29 @@ def main() -> None:
                        T=jnp.zeros((B,)), done=jnp.zeros((B,), bool))
     action = {"T": jnp.zeros((B,)), "mu": 0.3, "sigma_d": 0.06}
 
-    def t_full(s, feedback=0.0):
-        new = admm_step(denoise, s.replace(x=s.x + feedback), action)
-        return new.x + compute_reward(new)[:, 0, None, None, None]
+    # The full step is timed by threading the REAL state through the loop
+    # (time_rollout) — the shipped rollout's own dependence chain, with the
+    # per-step reward folded into a carried accumulator.
+    def step_real(c):
+        s, acc = c
+        new = admm_step(denoise, s, action)
+        return new, acc + jnp.sum(compute_reward(new))
+
+    # A/B for PARITY.md D16 (x stored real): emulate the pre-D16 carry —
+    # x as (B,1,H,W,2) with a zero imaginary plane, the step consuming
+    # x[..., 0] and re-stacking a zero plane, exactly as the old
+    # admm_step's `x_new = stack([x_real, zeros])` did. The delta vs
+    # full_step_ms is the pure HBM cost of carrying the dead plane.
+    x_ri = jnp.stack([x, jnp.zeros_like(x)], -1)
+
+    def step_xri(c):
+        x_ri_, z_, u_, T_, done_, acc = c
+        s = CSMRIState(x=x_ri_[..., 0], z=z_, u=u_, mask=mask, y0=y0,
+                       gt=gt, T=T_, done=done_)
+        new = admm_step(denoise, s, action)
+        return (jnp.stack([new.x, jnp.zeros_like(new.x)], -1),
+                new.z, new.u, new.T, new.done,
+                acc + jnp.sum(compute_reward(new)))
 
     comps = {
         "unet_ms": (t_unet, nhwc),
@@ -147,16 +198,27 @@ def main() -> None:
         "kspace_ms": (t_kspace, zc),
         "layout_ms": (t_layout, zc),
         "psnr_ms": (t_psnr, x),
-        "full_step_ms": (t_full, state),
     }
     for key, (fn, arg) in comps.items():
         results[key] = round(1e3 * time_fn(fn, arg), 4)
+        print(f"[knee] {key}: {results[key]} ms", file=sys.stderr,
+              flush=True)
+    rollouts = {
+        "full_step_ms": (step_real, (state, jnp.float32(0.0))),
+        "full_step_xri_ms": (step_xri, (x_ri, z, u, state.T, state.done,
+                                        jnp.float32(0.0))),
+    }
+    for key, (step, carry0) in rollouts.items():
+        results[key] = round(1e3 * time_rollout(step, carry0), 4)
         print(f"[knee] {key}: {results[key]} ms", file=sys.stderr,
               flush=True)
 
     parts = sum(results[k] for k in
                 ("unet_ms", "fft_ms", "kspace_ms", "layout_ms", "psnr_ms"))
     results["component_sum_ms"] = round(parts, 4)
+    results["xri_overhead_pct"] = round(
+        100.0 * (results["full_step_xri_ms"] - results["full_step_ms"])
+        / results["full_step_ms"], 2)
     results["fusion_gain_ms"] = round(parts - results["full_step_ms"], 4)
     results["unet_share_of_full"] = round(
         results["unet_ms"] / results["full_step_ms"], 3)
@@ -167,7 +229,7 @@ def main() -> None:
     if trace_dir:
         import jax.profiler
         with jax.profiler.trace(trace_dir):
-            jax.block_until_ready(t_full(state))
+            jax.block_until_ready(step_real((state, jnp.float32(0.0))))
         results["trace_dir"] = trace_dir
 
     print(json.dumps({"metric": "knee_attribution", **results}))
