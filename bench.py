@@ -49,6 +49,29 @@ def _throughput(fn, fetch, repeats: int, warmup: int = 2) -> float:
     return (time.perf_counter() - t0) / repeats
 
 
+def _ab_throughput(fns, fetch, repeats: int, rounds: int = 3):
+    """Per-variant seconds/call for competing variants, interleaved.
+
+    One pipelined window per variant is NOT comparable across variants on
+    the tunnel: windows minutes apart see +-40% drift (RESULTS.md), which
+    once made `direct` measure 2.4x slower than its own bf16 twin and
+    flipped the headline adoption. Measure every variant back-to-back in
+    each round and take the per-variant MIN over rounds — drift inflates
+    individual windows but never deflates them, so minima are comparable.
+    Callers must have compiled+warmed every fn first.
+    """
+    best = {k: float("inf") for k in fns}
+    for _ in range(rounds):
+        for k, fn in fns.items():
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(repeats):
+                out = fn()
+            fetch(out)
+            best[k] = min(best[k], (time.perf_counter() - t0) / repeats)
+    return best
+
+
 def main() -> None:
     import os
     import sys
@@ -139,12 +162,13 @@ def main() -> None:
     state1 = reset_from_mat(mat)
     roll_direct = make_roll(denoise_f32)
     roll_packed = make_roll(denoise_packed)
-    t_direct = _throughput(lambda: roll_direct(state1), fetch,
-                           repeats=SINGLE_REPEATS)
-    t_packed = _throughput(lambda: roll_packed(state1), fetch,
-                           repeats=SINGLE_REPEATS)
+    # Compile + warm both variants; the timed A/B runs interleaved below
+    # (with pallas, if it survives its guard) so tunnel drift between
+    # windows cannot flip the adoption.
+    fetch(roll_direct(state1))
+    fetch(roll_packed(state1))
     psnr_direct = fetch(roll_direct(state1))
-    _mark("single-slice A/B (compile+20 reps x2)")
+    _mark("single-slice compile+warm x2")
 
     # --- fused-Pallas whole-block variant (guarded adopt-or-reject) -------
     # ops/pallas/conv_block.py runs the 128^2 stages (inc, up4) as single
@@ -168,12 +192,9 @@ def main() -> None:
 
     roll_pallas = make_roll(denoise_pallas)
     roll_pallas_bf16 = make_roll(denoise_pallas_bf16)
-    t_pallas = float("inf")
     pallas_psnr_delta = float("nan")
     pallas_ok = False
     try:
-        t_pallas = _throughput(lambda: roll_pallas(state1), fetch,
-                               repeats=SINGLE_REPEATS)
         pallas_psnr_delta = abs(fetch(roll_pallas(state1)) - psnr_direct)
         pallas_ok = bool(pallas_psnr_delta < 0.01)
         if not pallas_ok:
@@ -181,13 +202,22 @@ def main() -> None:
                   f"{pallas_psnr_delta:.4f} dB vs direct", file=sys.stderr)
     except Exception as e:  # pragma: no cover — hardware-dependent
         print(f"[bench] pallas conv variant failed: {e!r}", file=sys.stderr)
-    _mark("pallas single-slice")
+    _mark("pallas single-slice compile+warm")
 
-    # Adopt the fastest exact variant for the headline; all are recorded.
+    # Interleaved A/B (drift-robust, see _ab_throughput), then adopt the
+    # fastest exact variant for the headline; all are recorded.
+    ab_fns = {"direct": lambda: roll_direct(state1),
+              "packed": lambda: roll_packed(state1)}
+    if pallas_ok:
+        ab_fns["pallas"] = lambda: roll_pallas(state1)
+    t_ab = _ab_throughput(ab_fns, fetch, repeats=max(1, SINGLE_REPEATS // 3))
+    t_direct, t_packed = t_ab["direct"], t_ab["packed"]
+    t_pallas = t_ab.get("pallas", float("inf"))
     t_variants = {"direct": t_direct, "packed": t_packed}
     if pallas_ok:
         t_variants["pallas"] = t_pallas
     unet_variant = min(t_variants, key=t_variants.get)
+    _mark("single-slice interleaved A/B")
     roll_f32 = {"direct": roll_direct, "packed": roll_packed,
                 "pallas": roll_pallas}[unet_variant]
     t_single = t_variants[unet_variant]
@@ -255,10 +285,12 @@ def main() -> None:
     # --- bf16 variants (direct vs packed A/B, same adoption rule) ---------
     roll_bf16_d = roll_bf16_knee
     roll_bf16_p = make_roll(denoise_bf16_packed)
-    t_bf16_d = _throughput(lambda: roll_bf16_d(state1), fetch,
-                           repeats=SINGLE_REPEATS)
-    t_bf16_p = _throughput(lambda: roll_bf16_p(state1), fetch,
-                           repeats=SINGLE_REPEATS)
+    fetch(roll_bf16_d(state1))  # compile+warm, then interleaved A/B
+    fetch(roll_bf16_p(state1))
+    t_ab16 = _ab_throughput(
+        {"d": lambda: roll_bf16_d(state1), "p": lambda: roll_bf16_p(state1)},
+        fetch, repeats=max(1, SINGLE_REPEATS // 3))
+    t_bf16_d, t_bf16_p = t_ab16["d"], t_ab16["p"]
     t_bf16 = min(t_bf16_d, t_bf16_p)
     roll_bf16 = roll_bf16_p if t_bf16_p < t_bf16_d else roll_bf16_d
     t_bf16_batch = _throughput(lambda: roll_bf16(stateB), fetch,

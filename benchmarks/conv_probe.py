@@ -116,7 +116,11 @@ def main() -> None:
     results["rewrites_correct"] = True
 
     # --- block-level A/B: the 3-conv LeakyReLU blocks ---------------------
-    for dt_name, dt in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+    # PROBE_PALLAS_ONLY=1 skips this ~10-min sweep to re-measure just the
+    # fused-kernel section below.
+    sweep = () if os.environ.get("PROBE_PALLAS_ONLY") else (
+        ("f32", jnp.float32), ("bf16", jnp.bfloat16))
+    for dt_name, dt in sweep:
         for name, h, cin, cout in BLOCKS:
             x = jnp.asarray(rng.standard_normal((B, h, h, cin)), dt)
             w1 = jnp.asarray(
@@ -210,8 +214,13 @@ def main() -> None:
             np.testing.assert_allclose(
                 np.asarray(pallas3(x), np.float32),
                 np.asarray(direct3(x), np.float32),
-                rtol=(1e-4 if dt_name == "f32" else 0.1),
-                atol=(1e-4 if dt_name == "f32" else 0.05))
+                # f32 band: on real TPU BOTH paths multiply in bf16 on the
+                # MXU (default precision) in different tap orders — max abs
+                # ~3e-3 observed on N(0,1) activations through 3 layers.
+                # Exact f32 parity (2e-5) is pinned separately in
+                # tests/test_pallas.py via interpret mode.
+                rtol=(5e-3 if dt_name == "f32" else 0.1),
+                atol=(5e-3 if dt_name == "f32" else 0.05))
             t_pal = time_fn(pallas3, x)
         except Exception as e:
             results[f"{key}_pallas_error"] = repr(e)[:200]
