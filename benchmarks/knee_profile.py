@@ -136,7 +136,6 @@ def main() -> None:
     sigma = jnp.full((B,), 0.06, jnp.float32)
     mu = jnp.full((B,), 0.3, jnp.float32)
     zc = jax.lax.complex(z[..., 0], z[..., 1])
-    y0c = jax.lax.complex(y0[..., 0], y0[..., 1])
 
     def t_unet(a, feedback=0.0):
         return denoise(a + feedback, sigma).astype(jnp.float32)
@@ -145,8 +144,13 @@ def main() -> None:
         return jnp.abs(ifft2c(fft2c(a + feedback)))
 
     def t_kspace(a, feedback=0.0):
+        # Build the complex y0 INSIDE the jitted fn: a complex64 device
+        # array captured as a closure is constant-folded at trace time via
+        # a device->host fetch, which the tunnel rejects (Unimplemented) —
+        # CLAUDE.md's ri-pairs-outside-jit rule.
+        y0c_ = jax.lax.complex(y0[..., 0], y0[..., 1])
         return jnp.abs(kspace_consistency(
-            a + feedback, y0c, mask, mu[:, None, None, None]))
+            a + feedback, y0c_, mask, mu[:, None, None, None]))
 
     def t_layout(a, feedback=0.0):
         # the step's data movement: z/u ri->complex, NCHW->NHWC->NCHW
