@@ -9,6 +9,15 @@ Timing methodology: each jitted variant returns a small scalar; N rollouts
 are dispatched back-to-back and the last scalar is fetched, so device
 executions pipeline and the remote-tunnel round-trip latency amortizes out.
 
+Crash-proofing (VERDICT r4 #1 — BENCH_r04 was lost to an unguarded
+FAILED_PRECONDITION at the first device execution): the driver-facing
+entrypoint NEVER initializes a device backend itself. The TPU measurement
+runs in a timeout-bounded child subprocess (`bench.py --child`) — the only
+defense against the tunnel's mid-run HANG signature (CLAUDE.md) — with one
+retry for fast transient faults; any failure falls back to an in-process
+degraded CPU run, and a last-resort guard still prints a minimal JSON line
+if even that dies. A parseable artifact survives ANY backend failure.
+
 Prints ONE JSON line:
   {"metric": "pnp_admm_iters_per_sec_per_chip", "value": ..., "unit":
    "iters/s", "vs_baseline": <speedup vs torch-CPU reference>, "extras":
@@ -35,6 +44,13 @@ PALLAS_KNEE_DEADLINE_S = 420  # skip the knee fused-kernel extras when the
 SINGLE_REPEATS = 20
 BATCH_REPEATS = 10
 IMAGE_SEED = 0
+
+CHILD_TIMEOUT_S = 1500.0  # one full device bench run (healthy ~10-12 min
+# including the knee sweep); a mid-run tunnel drop HANGS, so only this
+# hard kill bounds it
+RETRY_IF_FAILED_BEFORE_S = 300.0  # only a FAST first failure smells like a
+# transient backend fault worth one same-backend retry; a slow one already
+# burned too much of the driver's budget
 
 
 def _throughput(fn, fetch, repeats: int, warmup: int = 2) -> float:
@@ -72,41 +88,168 @@ def _ab_throughput(fns, fetch, repeats: int, rounds: int = 3):
     return best
 
 
+def _last_resort(exc, extras) -> None:
+    """Absolute artifact guarantee: SOME parseable JSON line, exit 0.
+
+    value=0.0 says honestly "no measurement"; the failure itself is in
+    extras.error for the judge."""
+    print(json.dumps({
+        "metric": "pnp_admm_iters_per_sec_per_chip",
+        "value": 0.0,
+        "unit": "iters/s",
+        "vs_baseline": 0.0,
+        "extras": {**dict(extras or {}), "error": repr(exc)[:500],
+                   "degraded": True},
+    }))
+
+
+def _merge_extras(line: str, extra: dict) -> str:
+    obj = json.loads(line)
+    obj.setdefault("extras", {}).update(extra)
+    return json.dumps(obj)
+
+
+def _child_run(timeout_s: float = CHILD_TIMEOUT_S):
+    """One full bench run against the default (device) backend in a
+    SUBPROCESS with a hard timeout. Child output goes to files, never
+    pipes (a blocked 64 KB pipe mid-run deadlocks, tests/test_multihost
+    lesson). Returns ``(json_line, None)`` on success, ``(None,
+    error_note)`` otherwise; the child's stderr tail is forwarded either
+    way so the section marks / tracebacks reach the driver log."""
+    import os
+    import subprocess
+    import sys
+    import tempfile
+
+    here = os.path.abspath(__file__)
+    with tempfile.TemporaryDirectory() as td:
+        out_p = os.path.join(td, "out")
+        err_p = os.path.join(td, "err")
+        with open(out_p, "w") as out_f, open(err_p, "w") as err_f:
+            try:
+                rc = subprocess.run(
+                    [sys.executable, here, "--child"],
+                    stdout=out_f, stderr=err_f, timeout=timeout_s,
+                    cwd=os.path.dirname(here)).returncode
+            except subprocess.TimeoutExpired:
+                rc = None
+        with open(err_p) as f:
+            err_tail = f.read()[-4000:]
+        if err_tail.strip():
+            print(err_tail, file=sys.stderr)
+        if rc is None:
+            return None, f"child timeout after {timeout_s:.0f}s (hang signature)"
+        with open(out_p) as f:
+            lines = [ln for ln in f.read().strip().splitlines() if ln.strip()]
+        if rc == 0 and lines:
+            try:
+                json.loads(lines[-1])
+                return lines[-1], None
+            except ValueError:
+                return None, ("child rc=0 but unparseable output: "
+                              f"{lines[-1][:200]!r}")
+        return None, f"child rc={rc}; stderr tail: {err_tail[-300:]!r}"
+
+
+def _guarded_cpu_run(extras, degraded: bool) -> None:
+    """Run the measurement body on the CPU backend in-process, guarded so
+    the artifact line survives even a CPU-path bug. Safe in-process: this
+    process has not initialized any backend yet, so the config flip lands
+    before first device touch (the env var alone is too late under the
+    container's sitecustomize-pinned jax, CLAUDE.md)."""
+    import sys
+    try:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        _run(extras=extras, degraded=degraded)
+    except Exception as e:
+        print(f"[bench] CPU run failed: {e!r}", file=sys.stderr)
+        _last_resort(e, extras)
+
+
 def main() -> None:
     import os
     import sys
 
-    t_run_start = time.perf_counter()
     env_cpu = os.environ.get("JAX_PLATFORMS", "") == "cpu"
-    tpu_unreachable = False
-    if not env_cpu:
-        # Bounded subprocess probe: when the axon tunnel is down,
-        # jax.devices() HANGS instead of erroring (CLAUDE.md), which would
-        # hang the driver's round-end bench forever. Only a DEAD probe is
-        # an outage (-> CPU fallback with tpu_unreachable recorded); a
-        # healthy non-TPU default backend answers and runs as-is.
-        from dt4image_restoration_tpu.utils.tpu_probe import probe_backend
-        tpu_unreachable = probe_backend() is None
+    if env_cpu:
+        # Explicit-CPU environments (the test suite, --cpu-style runs):
+        # full measurement in-process, still under the artifact guard.
+        _guarded_cpu_run(extras={"tpu_unreachable": False}, degraded=False)
+        return
+
+    # Bounded subprocess probe that EXECUTES a jitted computation: a dead
+    # tunnel hangs jax.devices() and a half-dead backend enumerates then
+    # throws on execution (BENCH_r04) — both read as a dead probe here.
+    from dt4image_restoration_tpu.utils.tpu_probe import probe_backend
+    tpu_unreachable = probe_backend() is None
+    extras = {"tpu_unreachable": tpu_unreachable}
     if tpu_unreachable:
-        print("[bench] default backend unreachable (tunnel down?) — "
-              "falling back to CPU; extras.tpu_unreachable=true",
-              file=sys.stderr)
+        print("[bench] default backend unreachable or failed to execute "
+              "(tunnel down?) — falling back to CPU; "
+              "extras.tpu_unreachable=true", file=sys.stderr)
+    else:
+        errs = []
+        for attempt in (1, 2):
+            t0 = time.perf_counter()
+            line, err = _child_run()
+            if line is not None:
+                merged = dict(extras)
+                if attempt == 2:
+                    merged["tpu_retry"] = True
+                    merged["tpu_first_error"] = errs[0]
+                print(_merge_extras(line, merged))
+                return
+            elapsed = time.perf_counter() - t0
+            errs.append(err)
+            print(f"[bench] device child attempt {attempt} failed after "
+                  f"{elapsed:.0f}s: {err}", file=sys.stderr)
+            if attempt == 1 and (elapsed > RETRY_IF_FAILED_BEFORE_S
+                                 or probe_backend() is None):
+                # Slow failure: no budget for a retry. Probe dead: the
+                # retry's first device touch would HANG, not error.
+                break
+        extras["tpu_error"] = errs[-1]
+        if len(errs) > 1:
+            extras["tpu_errors"] = errs
+    _guarded_cpu_run(extras=extras, degraded=True)
+
+
+def _child_main() -> None:
+    """``bench.py --child``: the device measurement body, run by main()
+    in a subprocess. Failures propagate as rc!=0 for the parent to
+    classify; the platform decision is the default backend's."""
+    import os
+
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":  # pragma: no cover
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    _run(extras={"tpu_unreachable": False})
+
+
+def _run(extras=None, degraded: bool = False) -> None:
+    """The measurement body; prints the JSON line. Assumes the caller
+    already decided the backend (child subprocess = default device;
+    fallback = CPU via config flip).
+
+    ``degraded=True`` bounds the fallback's wall time: direct f32 variant
+    only, small batch, no knee sweep / packed / bf16 / pallas — the point
+    of a fallback artifact is to exist, not to sweep.
+    """
+    import sys
+
+    base_extras = dict(extras or {})
+    t_run_start = time.perf_counter()
 
     import jax
-
-    if env_cpu or tpu_unreachable:
-        # The env var alone does NOT switch backends under the
-        # sitecustomize-pinned jax (CLAUDE.md); the config update does.
-        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
-    import sys as _sys
     _t_prev = [time.perf_counter()]
 
     def _mark(label):
         now = time.perf_counter()
         print(f"[bench-section] {label}: {now - _t_prev[0]:.1f}s",
-              file=_sys.stderr)
+              file=sys.stderr)
         _t_prev[0] = now
 
     from dt4image_restoration_tpu.data import make_mat_record
@@ -127,28 +270,6 @@ def main() -> None:
     def denoise_f32(img, sigma):
         return model_f32.apply({"params": params}, img, sigma)
 
-    # Space-to-depth packed execution of the lane-starved 128^2 stages
-    # (ops/image.py; exact rewrite, same params — see
-    # benchmarks/RESULTS.md "packed convs").
-    model_packed = UNetDenoiser(packed=True)
-
-    def denoise_packed(img, sigma):
-        return model_packed.apply({"params": params}, img, sigma)
-
-    model_bf16 = UNetDenoiser(dtype=jnp.bfloat16)
-
-    def denoise_bf16(img, sigma):
-        out = model_bf16.apply({"params": params},
-                               img.astype(jnp.bfloat16), sigma)
-        return out.astype(jnp.float32)
-
-    model_bf16_packed = UNetDenoiser(dtype=jnp.bfloat16, packed=True)
-
-    def denoise_bf16_packed(img, sigma):
-        out = model_bf16_packed.apply({"params": params},
-                                      img.astype(jnp.bfloat16), sigma)
-        return out.astype(jnp.float32)
-
     def make_roll(denoise):
         @jax.jit
         def roll(s):
@@ -156,147 +277,279 @@ def main() -> None:
             return compute_reward(final)
         return roll
 
-    fetch = lambda out: float(np.asarray(out)[0, 0])
+    fetch = lambda out: float(np.asarray(out)[0, 0])  # noqa: E731
 
-    # --- single-slice jitted rollout: direct vs s2d-packed A/B ------------
+    batch = min(BATCH, 4) if degraded else BATCH
+    single_repeats = max(1, min(SINGLE_REPEATS, 2) if degraded
+                         else SINGLE_REPEATS)
+    batch_repeats = max(1, min(BATCH_REPEATS, 2) if degraded
+                        else BATCH_REPEATS)
+
+    # --- single-slice jitted rollout ---------------------------------------
     state1 = reset_from_mat(mat)
     roll_direct = make_roll(denoise_f32)
-    roll_packed = make_roll(denoise_packed)
-    # Compile + warm both variants; the timed A/B runs interleaved below
-    # (with pallas, if it survives its guard) so tunnel drift between
-    # windows cannot flip the adoption.
     fetch(roll_direct(state1))
-    fetch(roll_packed(state1))
     psnr_direct = fetch(roll_direct(state1))
-    _mark("single-slice compile+warm x2")
 
-    # --- fused-Pallas whole-block variant (guarded adopt-or-reject) -------
-    # ops/pallas/conv_block.py runs the 128^2 stages (inc, up4) as single
-    # fused kernels with VMEM-resident intermediates. Built during the
-    # 2026-08-18 tunnel outage, it may execute on real TPU hardware for
-    # the FIRST time here — so compile/run under a guard (a kernel failure
-    # must not cost the round's bench artifact) and gate adoption on PSNR
-    # parity with the direct path (a silently-wrong kernel must not win
-    # the headline).
-    model_pallas = UNetDenoiser(packed="pallas")
+    ex = {}
+    if degraded:
+        t_direct = _throughput(lambda: roll_direct(state1), fetch,
+                               repeats=single_repeats, warmup=1)
+        unet_variant, t_single, roll_f32 = "direct", t_direct, roll_direct
+        ex.update({
+            "unet_variant_adopted": "direct",
+            "unet_packed_adopted": False,
+            "direct_iters_per_sec": round(N_ITERS / t_direct, 2),
+            "degraded": True,
+        })
+        _mark("degraded single-slice")
+    else:
+        # Space-to-depth packed execution of the lane-starved 128^2 stages
+        # (ops/image.py; exact rewrite, same params — see
+        # benchmarks/RESULTS.md "packed convs").
+        model_packed = UNetDenoiser(packed=True)
 
-    def denoise_pallas(img, sigma):
-        return model_pallas.apply({"params": params}, img, sigma)
+        def denoise_packed(img, sigma):
+            return model_packed.apply({"params": params}, img, sigma)
 
-    model_pallas_bf16 = UNetDenoiser(dtype=jnp.bfloat16, packed="pallas")
+        roll_packed = make_roll(denoise_packed)
+        # Compile + warm both variants; the timed A/B runs interleaved
+        # below (with pallas, if it survives its guard) so tunnel drift
+        # between windows cannot flip the adoption.
+        fetch(roll_packed(state1))
+        _mark("single-slice compile+warm x2")
 
-    def denoise_pallas_bf16(img, sigma):
-        out = model_pallas_bf16.apply({"params": params},
-                                      img.astype(jnp.bfloat16), sigma)
-        return out.astype(jnp.float32)
+        # --- fused-Pallas whole-block variant (guarded adopt-or-reject) ---
+        # ops/pallas/conv_block.py runs the 128^2 stages (inc, up4) as
+        # single fused kernels with VMEM-resident intermediates. Compile/
+        # run under a guard (a kernel failure must not cost the round's
+        # bench artifact) and gate adoption on PSNR parity with the direct
+        # path (a silently-wrong kernel must not win the headline).
+        model_pallas = UNetDenoiser(packed="pallas")
 
-    roll_pallas = make_roll(denoise_pallas)
-    roll_pallas_bf16 = make_roll(denoise_pallas_bf16)
-    pallas_psnr_delta = float("nan")
-    pallas_ok = False
-    try:
-        pallas_psnr_delta = abs(fetch(roll_pallas(state1)) - psnr_direct)
-        pallas_ok = bool(pallas_psnr_delta < 0.01)
-        if not pallas_ok:
-            print(f"[bench] pallas conv variant REJECTED: PSNR delta "
-                  f"{pallas_psnr_delta:.4f} dB vs direct", file=sys.stderr)
-    except Exception as e:  # pragma: no cover — hardware-dependent
-        print(f"[bench] pallas conv variant failed: {e!r}", file=sys.stderr)
-    _mark("pallas single-slice compile+warm")
+        def denoise_pallas(img, sigma):
+            return model_pallas.apply({"params": params}, img, sigma)
 
-    # Interleaved A/B (drift-robust, see _ab_throughput), then adopt the
-    # fastest exact variant for the headline; all are recorded.
-    ab_fns = {"direct": lambda: roll_direct(state1),
-              "packed": lambda: roll_packed(state1)}
-    if pallas_ok:
-        ab_fns["pallas"] = lambda: roll_pallas(state1)
-    t_ab = _ab_throughput(ab_fns, fetch, repeats=max(1, SINGLE_REPEATS // 3))
-    t_direct, t_packed = t_ab["direct"], t_ab["packed"]
-    t_pallas = t_ab.get("pallas", float("inf"))
-    t_variants = {"direct": t_direct, "packed": t_packed}
-    if pallas_ok:
-        t_variants["pallas"] = t_pallas
-    unet_variant = min(t_variants, key=t_variants.get)
-    _mark("single-slice interleaved A/B")
-    roll_f32 = {"direct": roll_direct, "packed": roll_packed,
-                "pallas": roll_pallas}[unet_variant]
-    t_single = t_variants[unet_variant]
+        model_pallas_bf16 = UNetDenoiser(dtype=jnp.bfloat16, packed="pallas")
+
+        def denoise_pallas_bf16(img, sigma):
+            out = model_pallas_bf16.apply({"params": params},
+                                          img.astype(jnp.bfloat16), sigma)
+            return out.astype(jnp.float32)
+
+        # Winograd F(2x2,3x3) execution (ops/winograd.py): 2.25x fewer
+        # conv multiplies — the MAC-reduction lever at the compute-bound
+        # knee (RESULTS.md round-4 attribution). Same params; adoption
+        # gated on the same PSNR band as every variant (float
+        # reassociation only, ~1e-6 rel).
+        model_wino = UNetDenoiser(packed="winograd")
+
+        def denoise_wino(img, sigma):
+            return model_wino.apply({"params": params}, img, sigma)
+
+        model_wino_bf16 = UNetDenoiser(dtype=jnp.bfloat16,
+                                       packed="winograd")
+
+        def denoise_wino_bf16(img, sigma):
+            out = model_wino_bf16.apply({"params": params},
+                                        img.astype(jnp.bfloat16), sigma)
+            return out.astype(jnp.float32)
+
+        roll_wino = make_roll(denoise_wino)
+        roll_wino_bf16 = make_roll(denoise_wino_bf16)
+        wino_psnr_delta = abs(fetch(roll_wino(state1)) - psnr_direct)
+        wino_ok = bool(wino_psnr_delta < 0.01)
+        if not wino_ok:
+            print(f"[bench] winograd conv variant REJECTED: PSNR delta "
+                  f"{wino_psnr_delta:.4f} dB vs direct", file=sys.stderr)
+        _mark("winograd single-slice compile+warm")
+
+        roll_pallas = make_roll(denoise_pallas)
+        roll_pallas_bf16 = make_roll(denoise_pallas_bf16)
+        pallas_psnr_delta = float("nan")
+        pallas_ok = False
+        try:
+            pallas_psnr_delta = abs(fetch(roll_pallas(state1)) - psnr_direct)
+            pallas_ok = bool(pallas_psnr_delta < 0.01)
+            if not pallas_ok:
+                print(f"[bench] pallas conv variant REJECTED: PSNR delta "
+                      f"{pallas_psnr_delta:.4f} dB vs direct",
+                      file=sys.stderr)
+        except Exception as e:  # pragma: no cover — hardware-dependent
+            print(f"[bench] pallas conv variant failed: {e!r}",
+                  file=sys.stderr)
+        _mark("pallas single-slice compile+warm")
+
+        # Interleaved A/B (drift-robust, see _ab_throughput), then adopt
+        # the fastest exact variant for the headline; all are recorded.
+        ab_fns = {"direct": lambda: roll_direct(state1),
+                  "packed": lambda: roll_packed(state1)}
+        if wino_ok:
+            ab_fns["winograd"] = lambda: roll_wino(state1)
+        if pallas_ok:
+            ab_fns["pallas"] = lambda: roll_pallas(state1)
+        t_ab = _ab_throughput(ab_fns, fetch,
+                              repeats=max(1, single_repeats // 3))
+        t_direct, t_packed = t_ab["direct"], t_ab["packed"]
+        t_pallas = t_ab.get("pallas", float("inf"))
+        t_wino = t_ab.get("winograd", float("inf"))
+        t_variants = {"direct": t_direct, "packed": t_packed}
+        if wino_ok:
+            t_variants["winograd"] = t_wino
+        if pallas_ok:
+            t_variants["pallas"] = t_pallas
+        unet_variant = min(t_variants, key=t_variants.get)
+        _mark("single-slice interleaved A/B")
+        roll_f32 = {"direct": roll_direct, "packed": roll_packed,
+                    "pallas": roll_pallas,
+                    "winograd": roll_wino}[unet_variant]
+        t_single = t_variants[unet_variant]
+        ex.update({
+            "unet_variant_adopted": unet_variant,
+            "unet_packed_adopted": unet_variant == "packed",
+            "direct_iters_per_sec": round(N_ITERS / t_direct, 2),
+            "packed_iters_per_sec": round(N_ITERS / t_packed, 2),
+            "winograd_ok": wino_ok,
+            "winograd_iters_per_sec": (round(N_ITERS / t_wino, 2)
+                                       if t_wino != float("inf")
+                                       else None),
+            "winograd_psnr_delta_db": round(wino_psnr_delta, 4),
+            "pallas_ok": pallas_ok,
+            "pallas_iters_per_sec": (round(N_ITERS / t_pallas, 2)
+                                     if t_pallas != float("inf") else None),
+            "pallas_psnr_delta_db": (round(pallas_psnr_delta, 4)
+                                     if pallas_psnr_delta ==
+                                     pallas_psnr_delta else None),
+        })
+
     iters_per_sec = N_ITERS / t_single
     psnr_jax = (psnr_direct if unet_variant == "direct"
                 else fetch(roll_f32(state1)))
 
     # --- batched rollout (slices/sec) ------------------------------------
-    mats = [make_mat_record(seed=s) for s in range(BATCH)]
+    mats = [make_mat_record(seed=s) for s in range(batch)]
     big = {k: np.concatenate([m[k] for m in mats]) for k in mats[0]}
     stateB = reset_from_mat(big)
     t_batch_direct = _throughput(lambda: roll_direct(stateB), fetch,
-                                 repeats=BATCH_REPEATS)
-    t_batch_packed = _throughput(lambda: roll_packed(stateB), fetch,
-                                 repeats=BATCH_REPEATS)
-    t_batch = min(t_batch_direct, t_batch_packed)
-    slices_per_sec = BATCH / t_batch
-    _mark("B=16 A/B")
+                                 repeats=batch_repeats)
+    if degraded:
+        t_batch = t_batch_direct
+    else:
+        t_batch_packed = _throughput(lambda: roll_packed(stateB), fetch,
+                                     repeats=batch_repeats)
+        t_batch = min(t_batch_direct, t_batch_packed)
+        ex.update({
+            "direct_batched_slices_per_sec": round(
+                batch / t_batch_direct, 2),
+            "packed_batched_slices_per_sec": round(
+                batch / t_batch_packed, 2),
+        })
+    slices_per_sec = batch / t_batch
+    _mark(f"B={batch} A/B")
 
-    # --- batch-scaling study: find the throughput knee --------------------
-    # Three variants A/B'd at every point: the winner flips with batch
-    # size. Packed wins at B=16 (lane starvation); at B>=64 batch
-    # parallelism fills the MXU and direct wins — and there bf16 pulls
-    # ahead ~1.6x (conv_probe.py B=128: up4 2.36 vs 3.90 ms), the
-    # reference's own autocast surface (main.py:37-40) at 0.013 dB delta.
-    roll_bf16_knee = make_roll(denoise_bf16)
-    scaling = {}
-    for b in SCALING_BATCHES:
-        reps = max(2, KNEE_REP_BUDGET // b)
-        big_b = {k: np.concatenate([mats[s % BATCH][k] for s in range(b)])
-                 for k in mats[0]}
-        state_b = reset_from_mat(big_b)
-        t_d = _throughput(lambda: roll_direct(state_b), fetch, repeats=reps,
-                          warmup=1)
-        t_p = _throughput(lambda: roll_packed(state_b), fetch, repeats=reps,
-                          warmup=1)
-        t_16 = _throughput(lambda: roll_bf16_knee(state_b), fetch,
-                           repeats=reps, warmup=1)
-        t_best = min(t_d, t_p, t_16)
-        if (pallas_ok and b == PALLAS_KNEE_BATCH
-                and time.perf_counter() - t_run_start
-                < PALLAS_KNEE_DEADLINE_S):
-            # Two fused-kernel candidates at the knee: f32 (exact, same
-            # adoption band as direct/packed) and bf16 compute (the knee's
-            # measured winner is bf16 — quality band covered by the same
-            # psnr_bf16 delta reported below, kernel accumulation is f32).
-            for tag, roll_k in (("pallas", roll_pallas),
-                                ("pallas_bf16", roll_pallas_bf16)):
-                try:
-                    t_pl = _throughput(lambda: roll_k(state_b), fetch,
-                                       repeats=reps, warmup=1)
-                    scaling[f"{tag}_slices_per_sec_b{b}"] = round(
-                        b / t_pl, 2)
-                    t_best = min(t_best, t_pl)
-                except Exception as e:  # pragma: no cover — hw-dependent
-                    print(f"[bench] {tag} knee b={b} failed: {e!r}",
-                          file=sys.stderr)
-        scaling[f"batched_slices_per_sec_b{b}"] = round(b / t_best, 2)
-        scaling[f"direct_slices_per_sec_b{b}"] = round(b / t_d, 2)
-        scaling[f"packed_slices_per_sec_b{b}"] = round(b / t_p, 2)
-        scaling[f"bf16_slices_per_sec_b{b}"] = round(b / t_16, 2)
-        del state_b, big_b
-        _mark(f"knee b={b} (3 variants)")
+    if not degraded:
+        # --- batch-scaling study: find the throughput knee ----------------
+        # Three variants A/B'd at every point: the winner flips with batch
+        # size. Packed wins at B=16 (lane starvation); at B>=64 batch
+        # parallelism fills the MXU and direct wins — and there bf16 pulls
+        # ahead ~1.6x (conv_probe.py B=128: up4 2.36 vs 3.90 ms), the
+        # reference's own autocast surface (main.py:37-40) at 0.013 dB
+        # delta.
+        model_bf16 = UNetDenoiser(dtype=jnp.bfloat16)
 
-    # --- bf16 variants (direct vs packed A/B, same adoption rule) ---------
-    roll_bf16_d = roll_bf16_knee
-    roll_bf16_p = make_roll(denoise_bf16_packed)
-    fetch(roll_bf16_d(state1))  # compile+warm, then interleaved A/B
-    fetch(roll_bf16_p(state1))
-    t_ab16 = _ab_throughput(
-        {"d": lambda: roll_bf16_d(state1), "p": lambda: roll_bf16_p(state1)},
-        fetch, repeats=max(1, SINGLE_REPEATS // 3))
-    t_bf16_d, t_bf16_p = t_ab16["d"], t_ab16["p"]
-    t_bf16 = min(t_bf16_d, t_bf16_p)
-    roll_bf16 = roll_bf16_p if t_bf16_p < t_bf16_d else roll_bf16_d
-    t_bf16_batch = _throughput(lambda: roll_bf16(stateB), fetch,
-                               repeats=BATCH_REPEATS)
-    psnr_bf16 = fetch(roll_bf16(state1))
-    _mark("bf16 single+B16")
+        def denoise_bf16(img, sigma):
+            out = model_bf16.apply({"params": params},
+                                   img.astype(jnp.bfloat16), sigma)
+            return out.astype(jnp.float32)
+
+        model_bf16_packed = UNetDenoiser(dtype=jnp.bfloat16, packed=True)
+
+        def denoise_bf16_packed(img, sigma):
+            out = model_bf16_packed.apply({"params": params},
+                                          img.astype(jnp.bfloat16), sigma)
+            return out.astype(jnp.float32)
+
+        roll_bf16_knee = make_roll(denoise_bf16)
+        scaling = {}
+        for b in SCALING_BATCHES:
+            reps = max(2, KNEE_REP_BUDGET // b)
+            big_b = {k: np.concatenate([mats[s % batch][k]
+                                        for s in range(b)])
+                     for k in mats[0]}
+            state_b = reset_from_mat(big_b)
+            t_d = _throughput(lambda: roll_direct(state_b), fetch,
+                              repeats=reps, warmup=1)
+            t_p = _throughput(lambda: roll_packed(state_b), fetch,
+                              repeats=reps, warmup=1)
+            t_16 = _throughput(lambda: roll_bf16_knee(state_b), fetch,
+                               repeats=reps, warmup=1)
+            t_best = min(t_d, t_p, t_16)
+            if (wino_ok and b == PALLAS_KNEE_BATCH
+                    and time.perf_counter() - t_run_start
+                    < PALLAS_KNEE_DEADLINE_S):
+                # The MAC-reduction candidates at the knee: winograd f32
+                # (exact band) and winograd-bf16 (vs the knee's measured
+                # bf16 winner; quality covered by psnr_bf16 below).
+                for tag, roll_k in (("winograd", roll_wino),
+                                    ("winograd_bf16", roll_wino_bf16)):
+                    try:
+                        t_wk = _throughput(lambda: roll_k(state_b), fetch,
+                                           repeats=reps, warmup=1)
+                        scaling[f"{tag}_slices_per_sec_b{b}"] = round(
+                            b / t_wk, 2)
+                        t_best = min(t_best, t_wk)
+                    except Exception as e:  # pragma: no cover — hw-dep.
+                        print(f"[bench] {tag} knee b={b} failed: {e!r}",
+                              file=sys.stderr)
+            if (pallas_ok and b == PALLAS_KNEE_BATCH
+                    and time.perf_counter() - t_run_start
+                    < PALLAS_KNEE_DEADLINE_S):
+                # Two fused-kernel candidates at the knee: f32 (exact, same
+                # adoption band as direct/packed) and bf16 compute (the
+                # knee's measured winner is bf16 — quality band covered by
+                # the same psnr_bf16 delta reported below, kernel
+                # accumulation is f32).
+                for tag, roll_k in (("pallas", roll_pallas),
+                                    ("pallas_bf16", roll_pallas_bf16)):
+                    try:
+                        t_pl = _throughput(lambda: roll_k(state_b), fetch,
+                                           repeats=reps, warmup=1)
+                        scaling[f"{tag}_slices_per_sec_b{b}"] = round(
+                            b / t_pl, 2)
+                        t_best = min(t_best, t_pl)
+                    except Exception as e:  # pragma: no cover — hw-dep.
+                        print(f"[bench] {tag} knee b={b} failed: {e!r}",
+                              file=sys.stderr)
+            scaling[f"batched_slices_per_sec_b{b}"] = round(b / t_best, 2)
+            scaling[f"direct_slices_per_sec_b{b}"] = round(b / t_d, 2)
+            scaling[f"packed_slices_per_sec_b{b}"] = round(b / t_p, 2)
+            scaling[f"bf16_slices_per_sec_b{b}"] = round(b / t_16, 2)
+            del state_b, big_b
+            _mark(f"knee b={b} (3 variants)")
+        ex.update(scaling)
+
+        # --- bf16 variants (direct vs packed A/B, same adoption rule) -----
+        roll_bf16_d = roll_bf16_knee
+        roll_bf16_p = make_roll(denoise_bf16_packed)
+        fetch(roll_bf16_d(state1))  # compile+warm, then interleaved A/B
+        fetch(roll_bf16_p(state1))
+        t_ab16 = _ab_throughput(
+            {"d": lambda: roll_bf16_d(state1),
+             "p": lambda: roll_bf16_p(state1)},
+            fetch, repeats=max(1, single_repeats // 3))
+        t_bf16_d, t_bf16_p = t_ab16["d"], t_ab16["p"]
+        t_bf16 = min(t_bf16_d, t_bf16_p)
+        roll_bf16 = roll_bf16_p if t_bf16_p < t_bf16_d else roll_bf16_d
+        t_bf16_batch = _throughput(lambda: roll_bf16(stateB), fetch,
+                                   repeats=batch_repeats)
+        psnr_bf16 = fetch(roll_bf16(state1))
+        ex.update({
+            "bf16_packed_iters_per_sec": round(N_ITERS / t_bf16_p, 2),
+            "bf16_direct_iters_per_sec": round(N_ITERS / t_bf16_d, 2),
+            "bf16_iters_per_sec": round(N_ITERS / t_bf16, 2),
+            "bf16_batched_slices_per_sec": round(batch / t_bf16_batch, 2),
+        })
+        _mark("bf16 single+B16")
 
     # --- torch CPU reference baseline (identical weights + data) ---------
     t0 = time.perf_counter()
@@ -305,46 +558,37 @@ def main() -> None:
     baseline_iters_per_sec = N_ITERS / t_torch
     _mark("torch CPU baseline")
 
+    ex.update({
+        "platform": jax.devices()[0].platform,
+        "device": str(jax.devices()[0]),
+        "single_slice_ms_per_iter": round(1e3 * t_single / N_ITERS, 3),
+        "batched_slices_per_sec": round(slices_per_sec, 2),
+        "batched_iters_per_sec": round(batch * N_ITERS / t_batch, 2),
+        "cpu_reference_iters_per_sec": round(baseline_iters_per_sec, 2),
+        "psnr_jax_f32_db": round(psnr_jax, 4),
+        "psnr_torch_cpu_db": round(psnr_torch, 4),
+        "psnr_parity_delta_db": round(abs(psnr_jax - psnr_torch), 4),
+    })
+    if not degraded:
+        ex["psnr_bf16_delta_db"] = round(abs(psnr_bf16 - psnr_torch), 4)
+
     result = {
         "metric": "pnp_admm_iters_per_sec_per_chip",
         "value": round(iters_per_sec, 2),
         "unit": "iters/s",
         "vs_baseline": round(iters_per_sec / baseline_iters_per_sec, 2),
-        "extras": {
-            "platform": jax.devices()[0].platform,
-            "device": str(jax.devices()[0]),
-            "tpu_unreachable": tpu_unreachable,
-            "single_slice_ms_per_iter": round(1e3 * t_single / N_ITERS, 3),
-            "unet_variant_adopted": unet_variant,
-            "unet_packed_adopted": unet_variant == "packed",
-            "direct_iters_per_sec": round(N_ITERS / t_direct, 2),
-            "packed_iters_per_sec": round(N_ITERS / t_packed, 2),
-            "pallas_ok": pallas_ok,
-            "pallas_iters_per_sec": (round(N_ITERS / t_pallas, 2)
-                                     if t_pallas != float("inf") else None),
-            "pallas_psnr_delta_db": (round(pallas_psnr_delta, 4)
-                                     if pallas_psnr_delta ==
-                                     pallas_psnr_delta else None),
-            "direct_batched_slices_per_sec": round(
-                BATCH / t_batch_direct, 2),
-            "packed_batched_slices_per_sec": round(
-                BATCH / t_batch_packed, 2),
-            "bf16_packed_iters_per_sec": round(N_ITERS / t_bf16_p, 2),
-            "bf16_direct_iters_per_sec": round(N_ITERS / t_bf16_d, 2),
-            "batched_slices_per_sec": round(slices_per_sec, 2),
-            "batched_iters_per_sec": round(BATCH * N_ITERS / t_batch, 2),
-            "bf16_iters_per_sec": round(N_ITERS / t_bf16, 2),
-            "bf16_batched_slices_per_sec": round(BATCH / t_bf16_batch, 2),
-            "cpu_reference_iters_per_sec": round(baseline_iters_per_sec, 2),
-            "psnr_jax_f32_db": round(psnr_jax, 4),
-            "psnr_torch_cpu_db": round(psnr_torch, 4),
-            "psnr_parity_delta_db": round(abs(psnr_jax - psnr_torch), 4),
-            "psnr_bf16_delta_db": round(abs(psnr_bf16 - psnr_torch), 4),
-            **scaling,
-        },
+        "extras": {**ex, **base_extras},
     }
     print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    if "--child" in _sys.argv[1:]:
+        _child_main()  # failures propagate: the parent reads the rc
+    else:
+        try:
+            main()
+        except Exception as _e:  # belt over main()'s own guards
+            _last_resort(_e, {})

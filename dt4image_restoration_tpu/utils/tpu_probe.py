@@ -19,22 +19,32 @@ import subprocess
 import sys
 from typing import Optional, Sequence, Tuple
 
-PROBE_TIMEOUT_S = 90.0  # axon-tunnel health probe (outages make devices() hang)
+PROBE_TIMEOUT_S = 120.0  # axon-tunnel health probe (outages make devices() hang)
+
+# The probe EXECUTES a tiny jitted computation, not just jax.devices():
+# BENCH_r04 was lost to a backend that enumerated devices fine and then
+# threw FAILED_PRECONDITION at the first real execution (VERDICT r4 §Weak
+# 1) — an enumeration-only probe sails through that signature. The
+# platform string prints only after the execution succeeds.
+_PROBE_SRC = ("import jax, jax.numpy as jnp; "
+              "jax.jit(lambda a: a + 1)(jnp.zeros((8,),)).block_until_ready(); "
+              "print(jax.devices()[0].platform)")
 
 
 def probe_backend(timeout_s: float = PROBE_TIMEOUT_S) -> Optional[str]:
     """The default jax backend's platform string ('tpu' / 'cpu' / 'gpu'),
-    or ``None`` when the probe subprocess hangs or errors — the actual
-    outage signature (a dead tunnel hangs ``jax.devices()``; a healthy
-    non-TPU backend answers and must NOT be treated as an outage).
+    or ``None`` when the probe subprocess hangs, errors, or fails to
+    EXECUTE a trivial jitted program — the two real outage signatures (a
+    dead tunnel hangs ``jax.devices()``; a half-dead backend enumerates
+    then throws on execution, BENCH_r04). A healthy non-TPU backend
+    answers and must NOT be treated as an outage.
 
     Probes in a SUBPROCESS with a hard timeout: a hung ``jax.devices()``
     kills the child, not this process.
     """
     try:
         r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; print(jax.devices()[0].platform)"],
+            [sys.executable, "-c", _PROBE_SRC],
             timeout=timeout_s, capture_output=True, text=True)
         if r.returncode != 0:
             return None

@@ -34,6 +34,22 @@ enable_persistent_cache()
 import numpy as np
 import pytest
 
+# The fast tier (`-m "not slow"`) must stay under 5 minutes on the 1-core
+# CI host (round-3/4 advertised it; round 5 made it true). Heavyweights
+# are listed in tests/slow_tests.txt (measured call time >= 5 s; see the
+# file header for the regeneration recipe) and marked here, so one
+# mechanism governs the tier instead of scattered per-file marks.
+_SLOW_LIST = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
+
+
+def pytest_collection_modifyitems(config, items):
+    with open(_SLOW_LIST) as f:
+        slow_ids = {ln.strip() for ln in f
+                    if ln.strip() and not ln.startswith("#")}
+    for item in items:
+        if item.nodeid in slow_ids:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture
 def rng():
