@@ -90,28 +90,61 @@ def main() -> None:
         # aggregation under load and reports tail latency, not just the
         # solo round trip.
         import threading
-        reqs = requests(N_CLIENTS)
-        lat_ms = []
-        lat_lock = threading.Lock()
 
-        def client(k):
-            for _ in range(REQS_PER_CLIENT):
-                t0 = time.perf_counter()
-                svc.submit(reqs[k]).result()
-                dt = 1e3 * (time.perf_counter() - t0)
-                with lat_lock:
-                    lat_ms.append(dt)
+        def concurrent_percentiles(service):
+            reqs = requests(N_CLIENTS)
+            lat_ms = []
+            lat_lock = threading.Lock()
 
-        threads = [threading.Thread(target=client, args=(k,))
-                   for k in range(N_CLIENTS)]
-        for th in threads:
-            th.start()
-        for th in threads:
-            th.join()
-        p50, p95, p99 = np.percentile(lat_ms, [50, 95, 99])
-        results["serving_policy_concurrent_p50_ms"] = round(float(p50), 1)
-        results["serving_policy_concurrent_p95_ms"] = round(float(p95), 1)
-        results["serving_policy_concurrent_p99_ms"] = round(float(p99), 1)
+            def client(k):
+                for _ in range(REQS_PER_CLIENT):
+                    t0 = time.perf_counter()
+                    service.submit(reqs[k]).result()
+                    dt = 1e3 * (time.perf_counter() - t0)
+                    with lat_lock:
+                        lat_ms.append(dt)
+
+            threads = [threading.Thread(target=client, args=(k,))
+                       for k in range(N_CLIENTS)]
+            t0 = time.perf_counter()
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join()
+            wall = time.perf_counter() - t0
+            p50, p95, p99 = np.percentile(lat_ms, [50, 95, 99])
+            return (round(float(p50), 1), round(float(p95), 1),
+                    round(float(p99), 1),
+                    round(len(lat_ms) / wall, 2))
+
+        p50, p95, p99, rps = concurrent_percentiles(svc)
+        results["serving_policy_concurrent_p50_ms"] = p50
+        results["serving_policy_concurrent_p95_ms"] = p95
+        results["serving_policy_concurrent_p99_ms"] = p99
+        results["serving_policy_concurrent_requests_per_sec"] = rps
+        results["serving_policy_concurrent_p95_over_p50"] = round(
+            p95 / p50, 2) if p50 else None
+    finally:
+        svc.close()
+
+    # --- legacy-batcher A/B (fill_window_frac=0) ---------------------------
+    # Same concurrent-clients section with the adaptive fill window
+    # disabled: the round-4 configuration whose per-item 10 ms patience
+    # split the client cohort into partial batches (p95 ~= p99 ~= 6x p50,
+    # RESULTS.md). Reported so the tail fix is a same-run A/B, not a
+    # cross-day comparison.
+    svc = RestorationService(denoise=denoise, cfg=cfg, dt_apply=dt_apply,
+                             dt_params=dt_params, mode="policy",
+                             batch_size=POLICY_BATCH,
+                             max_timesteps=MAX_TIMESTEPS,
+                             fill_window_frac=0.0)
+    try:
+        svc.restore(requests(POLICY_BATCH))  # warm (program cache shared)
+        p50, p95, p99, rps = concurrent_percentiles(svc)
+        results["serving_policy_legacy_concurrent_p50_ms"] = p50
+        results["serving_policy_legacy_concurrent_p95_ms"] = p95
+        results["serving_policy_legacy_concurrent_p99_ms"] = p99
+        results["serving_policy_legacy_concurrent_requests_per_sec"] = rps
     finally:
         svc.close()
 

@@ -34,6 +34,15 @@ from dt4image_restoration_tpu.inference.evaluator import (
     greedy_rollout, initial_policy_setup)
 
 
+class ServiceOverloaded(RuntimeError):
+    """Admission control: the request queue is at ``max_queue_depth``.
+
+    Raised by :meth:`RestorationService.submit` so callers can shed or
+    retry elsewhere instead of joining an unbounded queue — at
+    saturation, queue wait (not service time) is what blows the tail
+    (RESULTS.md round-4: p95 ≈ p99 ≈ 6x p50 from whole-batch turns)."""
+
+
 @dataclasses.dataclass
 class RestorationRequest:
     """One slice to restore: the .mat-style record (x0/y0/mask[/gt]) plus
@@ -76,8 +85,24 @@ class RestorationService:
       cfg / dt_apply / dt_params: policy-mode configuration (optional for
         fixed mode).
       batch_size: compiled batch shape; partial batches are padded.
-      max_delay_s: how long the dispatcher waits to fill a batch before
-        flushing a partial one.
+      max_delay_s: minimum patience for filling a partial batch. The
+        dispatcher's actual fill window is backlog-aware: it grows to
+        ``fill_window_frac`` of the EMA-measured batch turn time
+        (capped at ``fill_window_max_s``), floored at ``max_delay_s``.
+        Rationale: with ~0.4 s turns, a 10 ms patience used to split a
+        concurrently-arriving client cohort into tiny partial batches —
+        each turn then served 2-3 requests and the rest queued for
+        multiple turns (the round-4 p95 ≈ p99 ≈ 6x p50 tail). Waiting
+        ~10% of a turn to coalesce the cohort costs a bounded slice of
+        latency and buys whole-cohort batches.
+      fill_window_frac / fill_window_max_s: the adaptive window's
+        fraction-of-turn and hard cap; ``fill_window_frac=0`` disables
+        adaptation (window = ``max_delay_s``, the legacy behavior).
+      max_queue_depth: optional admission bound — ``submit`` raises
+        :class:`ServiceOverloaded` (counted in ``stats()['rejected']``)
+        when the queue already holds this many requests. Bounds the
+        worst-case queue wait to ~``max_queue_depth/batch_size`` turns;
+        ``None`` (default) keeps the queue unbounded.
       mesh: optional jax.sharding.Mesh — the fixed batch is sharded over
         its 'data' axis so one service instance scales across the chips
         of this host (batch_size must divide evenly). Single-process
@@ -108,7 +133,10 @@ class RestorationService:
                  value_fn_jax: Optional[Callable] = None,
                  mesh: Any = None,
                  node_dtype: str = "float32",
-                 pipeline_depth: int = 1) -> None:
+                 pipeline_depth: int = 1,
+                 fill_window_frac: float = 0.1,
+                 fill_window_max_s: float = 0.5,
+                 max_queue_depth: Optional[int] = None) -> None:
         if mode not in ("policy", "mcts", "fixed"):
             raise ValueError(
                 f"unknown serving mode {mode!r}; expected one of "
@@ -133,11 +161,21 @@ class RestorationService:
                 raise ValueError(
                     f"batch_size {batch_size} must be a multiple of the "
                     f"mesh data axis ({n_data})")
+        if fill_window_frac < 0:
+            raise ValueError(f"fill_window_frac must be >= 0, got "
+                             f"{fill_window_frac}")
+        if max_queue_depth is not None and max_queue_depth < 1:
+            raise ValueError(f"max_queue_depth must be >= 1, got "
+                             f"{max_queue_depth}")
         self.mesh = mesh
         self.mode = mode
         self.batch_size = batch_size
         self.max_timesteps = max_timesteps
         self.max_delay_s = max_delay_s
+        self.fill_window_frac = fill_window_frac
+        self.fill_window_max_s = fill_window_max_s
+        self.max_queue_depth = max_queue_depth
+        self._turn_ema_s = 0.0  # EMA of batch turn time; 0 = unmeasured
         self._queue: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
         # Guards the stop-check + enqueue in submit() against close()'s
@@ -180,7 +218,8 @@ class RestorationService:
 
         self._stats_lock = threading.Lock()
         self._stats = {"submitted": 0, "completed": 0, "failed": 0,
-                       "cancelled": 0, "batches": 0, "padded_slots": 0,
+                       "cancelled": 0, "rejected": 0, "batches": 0,
+                       "padded_slots": 0,
                        "latency_sum_ms": 0.0, "latency_max_ms": 0.0}
 
         self._resolve_q: Optional["queue.Queue"] = None
@@ -210,6 +249,13 @@ class RestorationService:
         with self._submit_lock:
             if self._stop.is_set():
                 raise RuntimeError("RestorationService is closed")
+            if (self.max_queue_depth is not None
+                    and self._queue.qsize() >= self.max_queue_depth):
+                with self._stats_lock:
+                    self._stats["rejected"] += 1
+                raise ServiceOverloaded(
+                    f"queue depth {self._queue.qsize()} >= max_queue_depth "
+                    f"{self.max_queue_depth}; shed or retry later")
             fut: Future = Future()
             self._queue.put((request, fut, time.monotonic()))
         with self._stats_lock:
@@ -257,15 +303,37 @@ class RestorationService:
                     self._stats["cancelled"] += 1
 
     # -- dispatcher ---------------------------------------------------------
+    def _fill_window_s(self) -> float:
+        """Current fill window for a partial batch: ``fill_window_frac``
+        of the EMA turn time, floored at ``max_delay_s``, capped at
+        ``fill_window_max_s``. Before the first measured turn the floor
+        applies (the legacy behavior)."""
+        return min(max(self.max_delay_s,
+                       self._turn_ema_s * self.fill_window_frac),
+                   self.fill_window_max_s)
+
+    def _note_turn(self, seconds: float) -> None:
+        self._turn_ema_s = (seconds if self._turn_ema_s == 0.0
+                            else 0.5 * self._turn_ema_s + 0.5 * seconds)
+
     def _collect(self):
         items = []
         try:
             items.append(self._queue.get(timeout=0.05))
         except queue.Empty:
             return items
+        # One bounded window from the FIRST item, not a per-item timeout:
+        # the device is busy for a whole turn anyway, so spending a small
+        # fraction of a turn here coalesces a concurrently-arriving
+        # cohort into one batch instead of splitting it into partial
+        # batches that each cost a full turn (the round-4 tail).
+        deadline = time.monotonic() + self._fill_window_s()
         while len(items) < self.batch_size:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
             try:
-                items.append(self._queue.get(timeout=self.max_delay_s))
+                items.append(self._queue.get(timeout=remaining))
             except queue.Empty:
                 break
         return items
@@ -289,13 +357,15 @@ class RestorationService:
                     self._inflight.release()
                     self._settle_batch(items, exc=exc)
                 else:
-                    self._resolve_q.put((items, handle))
+                    self._resolve_q.put((items, handle, time.monotonic()))
                 continue
+            t0 = time.monotonic()
             try:
                 results = self._run_batch([req for req, _, _ in items])
             except Exception as exc:  # pragma: no cover - defensive
                 self._settle_batch(items, exc=exc)
             else:
+                self._note_turn(time.monotonic() - t0)
                 self._settle_batch(items, results)
         if self._resolve_q is not None:
             self._resolve_q.put(None)  # drain sentinel for close()
@@ -305,13 +375,16 @@ class RestorationService:
             entry = self._resolve_q.get()
             if entry is None:
                 return
-            items, handle = entry
+            items, handle, t_dispatch = entry
             try:
                 try:
                     results = self._finalize_batch(handle)
                 except Exception as exc:
                     self._settle_batch(items, exc=exc)
                 else:
+                    # Dispatch->settled includes any resolver queue wait,
+                    # which is the effective turn pacing under pipelining.
+                    self._note_turn(time.monotonic() - t_dispatch)
                     self._settle_batch(items, results)
             finally:
                 self._inflight.release()

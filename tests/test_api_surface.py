@@ -62,7 +62,8 @@ DOCUMENTED = {
     "dt4image_restoration_tpu.utils.loaders": [
         "load_denoiser", "load_dt"],
     "dt4image_restoration_tpu.serving": [
-        "RestorationService", "RestorationRequest", "RestorationResult"],
+        "RestorationService", "RestorationRequest", "RestorationResult",
+        "ServiceOverloaded"],
     "dt4image_restoration_tpu.config": [
         "ModelConfig", "DenoiserConfig", "EnvConfig", "TrainerConfig",
         "EvalConfig", "MCTSConfig", "MeshConfig", "Config", "FLEX_TASKS",

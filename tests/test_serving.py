@@ -391,3 +391,92 @@ def test_pipelined_soak_with_random_cancels():
     assert st["completed"] + st["cancelled"] == 120
     assert st["failed"] == 0
     assert st["completed"] == len(results)
+
+
+def test_admission_control_bounds_queue(monkeypatch):
+    """max_queue_depth: submit sheds with ServiceOverloaded once the
+    queue holds that many requests, the rejection is counted, and
+    accepted requests are untouched. The worker is stubbed to never
+    collect so the depth is deterministic."""
+    from dt4image_restoration_tpu.serving import ServiceOverloaded
+
+    import time as _time
+    monkeypatch.setattr(RestorationService, "_collect",
+                        lambda self: _time.sleep(0.01) or [])
+    svc = RestorationService(denoise=lambda img, sig: img, mode="fixed",
+                             batch_size=2, max_timesteps=2,
+                             max_queue_depth=3)
+    req = RestorationRequest(mat=make_mat_record(size=32, seed=0))
+    try:
+        futs = [svc.submit(req) for _ in range(3)]
+        with pytest.raises(ServiceOverloaded):
+            svc.submit(req)
+        st = svc.stats()
+        assert st["rejected"] == 1 and st["submitted"] == 3
+        assert st["queue_depth"] == 3
+    finally:
+        svc.close()
+    # close() drains + cancels whatever admission had accepted.
+    assert all(f.cancelled() for f in futs)
+    assert svc.stats()["cancelled"] == 3
+
+
+def test_fill_window_logic():
+    """The adaptive fill window: floor at max_delay_s before any turn is
+    measured, fill_window_frac of the EMA turn after, hard cap at
+    fill_window_max_s, and frac=0 restores the legacy fixed patience."""
+    svc = RestorationService(denoise=lambda img, sig: img, mode="fixed",
+                             batch_size=2, max_timesteps=2)
+    try:
+        assert svc._fill_window_s() == pytest.approx(0.01)  # unmeasured
+        svc._turn_ema_s = 1.0
+        assert svc._fill_window_s() == pytest.approx(0.1)
+        svc._turn_ema_s = 100.0
+        assert svc._fill_window_s() == pytest.approx(0.5)   # cap
+        svc.fill_window_frac = 0.0
+        assert svc._fill_window_s() == pytest.approx(0.01)  # legacy
+        # EMA update rule: first sample adopts, then 50/50 blend.
+        svc._turn_ema_s = 0.0
+        svc._note_turn(2.0)
+        assert svc._turn_ema_s == pytest.approx(2.0)
+        svc._note_turn(1.0)
+        assert svc._turn_ema_s == pytest.approx(1.5)
+    finally:
+        svc.close()
+
+
+def test_adaptive_fill_window_coalesces_trickle():
+    """The round-4 tail's mechanism, inverted: requests trickling in
+    slower than the legacy 10 ms patience but inside the adaptive window
+    must land in ONE batch (the old per-item timeout split them into
+    partial batches that each cost a full device turn)."""
+    import time as _time
+
+    svc = RestorationService(denoise=lambda img, sig: jnp.clip(img, 0, 1),
+                             mode="fixed", batch_size=4, max_timesteps=2,
+                             fill_window_max_s=5.0)
+    svc._turn_ema_s = 60.0  # as if turns were measured huge -> window=cap
+    try:
+        futs = [svc.submit(RestorationRequest(
+            mat=make_mat_record(size=32, seed=0)))]
+        for i in range(1, 4):
+            _time.sleep(0.05)  # > legacy 10 ms patience, << the window
+            futs.append(svc.submit(RestorationRequest(
+                mat=make_mat_record(size=32, seed=i))))
+        for f in futs:
+            f.result(timeout=300)
+        st = svc.stats()
+    finally:
+        svc.close()
+    # A full batch ends the window immediately — one batch, no padding.
+    assert st["batches"] == 1, st
+    assert st["padded_slots"] == 0
+
+
+def test_new_knob_validation():
+    with pytest.raises(ValueError, match="fill_window_frac"):
+        RestorationService(denoise=lambda img, sig: img, mode="fixed",
+                           fill_window_frac=-0.1)
+    with pytest.raises(ValueError, match="max_queue_depth"):
+        RestorationService(denoise=lambda img, sig: img, mode="fixed",
+                           max_queue_depth=0)
