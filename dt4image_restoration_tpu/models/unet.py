@@ -25,6 +25,7 @@ from dt4image_restoration_tpu.ops.image import (
     bilinear_upsample_2x, depth_to_space, pack_conv_bias, pack_conv_weights,
     repad_cells, space_to_depth, space_to_depth_shifted)
 from dt4image_restoration_tpu.ops.pallas import conv_block as pallas_conv
+from dt4image_restoration_tpu.ops.winograd import winograd_conv3x3_same
 
 
 class _ConvParams(nn.Module):
@@ -52,19 +53,31 @@ class ConvBlock(nn.Module):
     layer, 'shift' = VALID 2x2 cell conv with in-domain repad between
     layers, 'pallas' = the whole block as ONE Pallas kernel in the dense
     cell domain with all inter-layer intermediates in VMEM, row-tiled to
-    the VMEM budget (ops/pallas/conv_block.py). Mathematically exact up
+    the VMEM budget (ops/pallas/conv_block.py), 'winograd' = each layer
+    via F(2x2,3x3) MXU GEMMs — 2.25x fewer multiplies, the math lever at
+    the compute-ceiling knee (ops/winograd.py). Mathematically exact up
     to float reassociation; falls back to direct when the spatial dims
     are odd (pad-to-match layouts)."""
     features: int
     num_layer: int = 3
     dtype: Any = jnp.float32
-    packed: Any = None  # None | 'dense' | 'shift' | 'pallas'
+    packed: Any = None  # None | 'dense' | 'shift' | 'pallas' | 'winograd'
 
     @nn.compact
     def __call__(self, x):
         packed = self.packed
         if packed and (x.shape[-3] % 2 or x.shape[-2] % 2):
             packed = None
+        if packed == "winograd":
+            cin = x.shape[-1]
+            y = jnp.asarray(x, self.dtype)
+            for i in range(self.num_layer):
+                k, b = _ConvParams(self.features, name=f"conv{i}")(cin)
+                y = winograd_conv3x3_same(y, jnp.asarray(k, self.dtype),
+                                          jnp.asarray(b, self.dtype))
+                y = jax.nn.leaky_relu(y, negative_slope=0.2)
+                cin = self.features
+            return y
         if packed == "pallas":
             cin = x.shape[-1]
             ks, bs = [], []
@@ -134,28 +147,39 @@ class UNet(nn.Module):
     out_channels: int = 1
     base_channels: int = 32
     dtype: Any = jnp.float32
-    packed: Any = False  # False | True | 'pallas'
+    packed: Any = False  # False | True | 'pallas' | 'winograd'
 
     @nn.compact
     def __call__(self, x):
         noisy = x
         c = self.base_channels
-        inc_packed = ("pallas" if self.packed == "pallas"
-                      else "dense" if self.packed else None)
-        if self.packed == "pallas":
-            up4_packed = "pallas"
+        # 'winograd' applies to EVERY 3x3 block: the conv FLOPs are spread
+        # nearly evenly across the 9 stages (H^2*C^2 is level-invariant
+        # down the U), so a MAC-reduction lever must hit all of them.
+        deep_packed = "winograd" if self.packed == "winograd" else None
+        if self.packed == "winograd":
+            inc_packed = up4_packed = "winograd"
         else:
-            up4_packed = "shift" if (
-                self.packed and self.dtype == jnp.float32) else None
+            inc_packed = ("pallas" if self.packed == "pallas"
+                          else "dense" if self.packed else None)
+            if self.packed == "pallas":
+                up4_packed = "pallas"
+            else:
+                up4_packed = "shift" if (
+                    self.packed and self.dtype == jnp.float32) else None
         x1 = ConvBlock(c, dtype=self.dtype, packed=inc_packed,
                        name="inc")(x)
-        x2 = ConvBlock(2 * c, dtype=self.dtype, name="down1")(
+        x2 = ConvBlock(2 * c, dtype=self.dtype, packed=deep_packed,
+                       name="down1")(
             nn.max_pool(x1, (2, 2), strides=(2, 2)))
-        x3 = ConvBlock(4 * c, dtype=self.dtype, name="down2")(
+        x3 = ConvBlock(4 * c, dtype=self.dtype, packed=deep_packed,
+                       name="down2")(
             nn.max_pool(x2, (2, 2), strides=(2, 2)))
-        x4 = ConvBlock(8 * c, dtype=self.dtype, name="down3")(
+        x4 = ConvBlock(8 * c, dtype=self.dtype, packed=deep_packed,
+                       name="down3")(
             nn.max_pool(x3, (2, 2), strides=(2, 2)))
-        x5 = ConvBlock(16 * c, dtype=self.dtype, name="down4")(
+        x5 = ConvBlock(16 * c, dtype=self.dtype, packed=deep_packed,
+                       name="down4")(
             nn.max_pool(x4, (2, 2), strides=(2, 2)))
 
         def up(a, skip, feats, name, packed=None):
@@ -165,9 +189,9 @@ class UNet(nn.Module):
             return ConvBlock(feats, dtype=self.dtype, packed=packed,
                              name=name)(a)
 
-        y = up(x5, x4, 8 * c, "up1")
-        y = up(y, x3, 4 * c, "up2")
-        y = up(y, x2, 2 * c, "up3")
+        y = up(x5, x4, 8 * c, "up1", packed=deep_packed)
+        y = up(y, x3, 4 * c, "up2", packed=deep_packed)
+        y = up(y, x2, 2 * c, "up3", packed=deep_packed)
         y = up(y, x1, c, "up4", packed=up4_packed)
         residual = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
                            name="outc")(y)

@@ -536,6 +536,13 @@ def test_headline_bench_smoke(monkeypatch, capsys):
     assert e["pallas_iters_per_sec"] > 0
     assert e["pallas_slices_per_sec_b4"] > 0
     assert e["pallas_bf16_slices_per_sec_b4"] > 0  # bf16 knee candidate
+    # The Winograd MAC-reduction candidate: same parity gate, same knee
+    # A/B (f32 + bf16).
+    assert e["winograd_ok"] is True
+    assert e["winograd_psnr_delta_db"] < 0.01
+    assert e["winograd_iters_per_sec"] > 0
+    assert e["winograd_slices_per_sec_b4"] > 0
+    assert e["winograd_bf16_slices_per_sec_b4"] > 0
     # Under the suite's forced-CPU env the tunnel probe is skipped.
     assert e["tpu_unreachable"] is False
     # PSNR parity must hold at toy sizes too (identical weights/data).
@@ -553,7 +560,9 @@ def test_headline_bench_smoke(monkeypatch, capsys):
     assert "batched_slices_per_sec_b4" in e2
     assert "pallas_slices_per_sec_b4" not in e2
     assert "pallas_bf16_slices_per_sec_b4" not in e2
+    assert "winograd_slices_per_sec_b4" not in e2  # same deadline gate
     assert e2["pallas_ok"] is True  # single-slice A/B is not deadline-gated
+    assert e2["winograd_ok"] is True
 
 
 def test_headline_bench_tunnel_outage_fallback(monkeypatch, capsys):
@@ -578,6 +587,173 @@ def test_headline_bench_tunnel_outage_fallback(monkeypatch, capsys):
     assert r["extras"]["tpu_unreachable"] is True
     assert r["extras"]["platform"] == "cpu"
     assert r["value"] > 0
+    # Outage fallbacks run the bounded degraded body (direct-only, no
+    # knee sweep): a full CPU sweep at real sizes would blow the driver's
+    # round-end budget just to produce a fallback artifact.
+    assert r["extras"]["degraded"] is True
+    assert "bf16_iters_per_sec" not in r["extras"]
+
+
+def test_headline_bench_exec_fault_fallback(monkeypatch, capsys):
+    """BENCH_r04's loss mode, injected: the probe answers 'tpu' but every
+    device child run fails on execution. main() must retry once on the
+    same backend, then fall back to a degraded in-process CPU run — and
+    still emit one parseable JSON line recording both failures."""
+    import json as json_mod
+    import bench
+
+    monkeypatch.setattr(bench, "N_ITERS", 2)
+    monkeypatch.setattr(bench, "BATCH", 2)
+    monkeypatch.setattr(bench, "SINGLE_REPEATS", 2)
+    monkeypatch.setattr(bench, "BATCH_REPEATS", 2)
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)  # take the device path
+    from dt4image_restoration_tpu.utils import tpu_probe
+    monkeypatch.setattr(tpu_probe, "probe_backend", lambda *a, **k: "tpu")
+    calls = []
+
+    def failing_child(timeout_s=None):
+        calls.append(timeout_s)
+        return None, "child rc=1; stderr tail: 'FAILED_PRECONDITION: " \
+                     "TPU backend error'"
+
+    monkeypatch.setattr(bench, "_child_run", failing_child)
+    bench.main()
+    r = json_mod.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(calls) == 2  # one retry (fast failure + live probe), no more
+    assert r["value"] > 0  # degraded CPU numbers are real measurements
+    e = r["extras"]
+    assert e["tpu_unreachable"] is False
+    assert "FAILED_PRECONDITION" in e["tpu_error"]
+    assert len(e["tpu_errors"]) == 2
+    assert e["degraded"] is True
+    assert e["platform"] == "cpu"
+
+
+def test_headline_bench_retry_succeeds(monkeypatch, capsys):
+    """A transient device fault: the first child run fails fast, the
+    retry succeeds — the retried child's JSON line is emitted with the
+    retry provenance merged into extras."""
+    import json as json_mod
+    import bench
+
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    from dt4image_restoration_tpu.utils import tpu_probe
+    monkeypatch.setattr(tpu_probe, "probe_backend", lambda *a, **k: "tpu")
+    good_line = json_mod.dumps({
+        "metric": "pnp_admm_iters_per_sec_per_chip", "value": 5.0,
+        "unit": "iters/s", "vs_baseline": 2.0,
+        "extras": {"platform": "tpu"}})
+    seq = [(None, "transient fault"), (good_line, None)]
+    monkeypatch.setattr(bench, "_child_run",
+                        lambda timeout_s=None: seq.pop(0))
+    bench.main()
+    r = json_mod.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r["value"] == 5.0
+    assert r["extras"]["platform"] == "tpu"
+    assert r["extras"]["tpu_retry"] is True
+    assert "transient fault" in r["extras"]["tpu_first_error"]
+    assert r["extras"]["tpu_unreachable"] is False
+
+
+def test_headline_bench_no_retry_when_probe_dies(monkeypatch, capsys):
+    """After a failed device run, the retry is skipped when the re-probe
+    dies (a mid-run tunnel drop would HANG the retry, not error) — main
+    goes straight to the CPU fallback."""
+    import json as json_mod
+    import bench
+
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    from dt4image_restoration_tpu.utils import tpu_probe
+    probes = ["tpu", None]  # healthy at first, dead on the re-probe
+    monkeypatch.setattr(tpu_probe, "probe_backend",
+                        lambda *a, **k: probes.pop(0))
+    calls = []
+
+    def failing_child(timeout_s=None):
+        calls.append(1)
+        return None, "child timeout after 1500s (hang signature)"
+
+    monkeypatch.setattr(bench, "_child_run", failing_child)
+    fallbacks = []
+
+    def fake_fallback(extras, degraded):
+        fallbacks.append((dict(extras), degraded))
+        print(json_mod.dumps({"metric": "pnp_admm_iters_per_sec_per_chip",
+                              "value": 1.0, "unit": "iters/s",
+                              "vs_baseline": 1.0, "extras": extras}))
+
+    monkeypatch.setattr(bench, "_guarded_cpu_run", fake_fallback)
+    bench.main()
+    r = json_mod.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(calls) == 1  # no blind retry into a hang
+    assert fallbacks[0][1] is True  # degraded fallback
+    assert "hang signature" in r["extras"]["tpu_error"]
+
+
+def test_headline_bench_last_resort_line(monkeypatch, capsys):
+    """Absolute artifact guarantee: even when the measurement body itself
+    raises on CPU, main() returns normally and prints a parseable JSON
+    line (value 0.0 = honestly no measurement, error recorded)."""
+    import json as json_mod
+    import bench
+
+    def boom(extras=None, degraded=False):
+        raise RuntimeError("synthetic CPU-path bug")
+
+    monkeypatch.setattr(bench, "_run", boom)
+    bench.main()  # suite env forces the in-process CPU path
+    r = json_mod.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r["metric"] == "pnp_admm_iters_per_sec_per_chip"
+    assert r["value"] == 0.0 and r["vs_baseline"] == 0.0
+    assert "synthetic CPU-path bug" in r["extras"]["error"]
+
+
+def test_probe_requires_execution(tmp_path, monkeypatch):
+    """The probe must EXECUTE a jitted computation, not just enumerate
+    devices: a fake jax that enumerates fine but throws on execution
+    (BENCH_r04's signature) must read as a dead probe, and a healthy fake
+    must report its platform."""
+    import os
+    import textwrap
+    from dt4image_restoration_tpu.utils import tpu_probe
+
+    pkg = tmp_path / "jax"
+    pkg.mkdir()
+    (pkg / "__init__.py").write_text(textwrap.dedent("""
+        import os
+
+        class _Dev:
+            platform = "tpu"
+
+        def devices():
+            return [_Dev()]
+
+        class _Res:
+            def block_until_ready(self):
+                return self
+
+        def jit(f):
+            def wrapped(*a, **k):
+                if os.environ.get("FAKE_JAX_FAIL_EXEC") == "1":
+                    raise RuntimeError(
+                        "FAILED_PRECONDITION: TPU backend error")
+                return _Res()
+            return wrapped
+
+        from . import numpy  # noqa: F401  (so `import jax.numpy` works)
+    """))
+    (pkg / "numpy.py").write_text("def zeros(*a, **k):\n    return 0\n")
+
+    # Shadow the real jax in probe children; keep /root/.axon_site on the
+    # path but disarm its register() (it is gated on PALLAS_AXON_POOL_IPS).
+    monkeypatch.setenv("PYTHONPATH", str(tmp_path) + os.pathsep
+                       + os.environ.get("PYTHONPATH", ""))
+    monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)
+
+    monkeypatch.setenv("FAKE_JAX_FAIL_EXEC", "1")
+    assert tpu_probe.probe_backend(timeout_s=60) is None
+    monkeypatch.setenv("FAKE_JAX_FAIL_EXEC", "0")
+    assert tpu_probe.probe_backend(timeout_s=60) == "tpu"
 
 
 def test_serving_bench_smoke(monkeypatch, capsys):
@@ -602,6 +778,11 @@ def test_serving_bench_smoke(monkeypatch, capsys):
               "serving_policy_concurrent_p50_ms",
               "serving_policy_concurrent_p95_ms",
               "serving_policy_concurrent_p99_ms",
+              "serving_policy_concurrent_requests_per_sec",
+              "serving_policy_concurrent_p95_over_p50",
+              "serving_policy_legacy_concurrent_p50_ms",
+              "serving_policy_legacy_concurrent_p95_ms",
+              "serving_policy_legacy_concurrent_requests_per_sec",
               "serving_policy_pipelined_requests_per_sec",
               "serving_mcts_requests_per_sec"):
         assert r[k] > 0
@@ -614,3 +795,29 @@ def test_tpu_probe_times_out_fast():
     child reads as a dead probe, not a live non-TPU backend)."""
     from dt4image_restoration_tpu.utils import tpu_probe
     assert tpu_probe.probe_backend(timeout_s=0.05) is None
+
+
+def test_search_knee_profile_smoke(monkeypatch, capsys):
+    """benchmarks/search_knee_profile.py at toy sizes (CPU): every
+    component slope produces a finite number and the JSON line carries
+    the attribution keys for each batch point."""
+    import json as json_mod
+    import benchmarks.search_knee_profile as bench
+
+    monkeypatch.setattr(bench, "BATCHES", (2,))
+    monkeypatch.setattr(bench, "ITER_LO", 1)
+    monkeypatch.setattr(bench, "ITER_HI", 3)
+    monkeypatch.setattr(bench, "LOOP_LO", 1)
+    monkeypatch.setattr(bench, "LOOP_HI", 3)
+    monkeypatch.setattr(bench, "MAX_TIMESTEPS", 6)
+    monkeypatch.setattr(bench, "IMAGE_SIZE", 32)
+    monkeypatch.setattr(bench, "REPS", 1)
+    monkeypatch.setattr("sys.argv", ["search_knee_profile.py"])
+    bench.main()
+    r = json_mod.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r["metric"] == "search_knee_attribution"
+    for k in ("full_iter_ms_b2", "iter_ms_b2", "policy_ms_b2",
+              "expand_ms_b2", "rollout_ms_b2", "bookkeeping_ms_b2",
+              "component_sum_ms_b2", "s_per_image_implied_b2"):
+        assert k in r and np.isfinite(r[k]), k
+    assert r["expand_lanes_b2"] == 12  # (K+1) * B
