@@ -65,3 +65,7 @@ python tools/export_checkpoint.py --model dt --in checkpoints/model_5 \
 #(unet / fft / kspace / layout / psnr vs the fused full step)
 PROBE_BATCH=128 python benchmarks/knee_profile.py
 PROBE_BATCH=128 PROBE_DTYPE=bfloat16 python benchmarks/knee_profile.py
+
+#device-search knee attribution: whole-search per-iteration slope vs its
+#components (policy / 6-slot expansion / rollout / tree bookkeeping)
+SEARCH_BATCHES=16,64,128 python benchmarks/search_knee_profile.py

@@ -173,3 +173,61 @@ def test_denoiser_output_clamped():
         {"params": params}, jnp.ones((1, 32, 32, 1)) * 5.0, jnp.asarray([0.5]))
     assert float(jnp.min(out)) >= 0.0
     assert float(jnp.max(out)) <= 1.0
+
+
+def test_winograd_conv_matches_lax_conv(rng):
+    """ops/winograd.py F(2x2,3x3) vs lax direct conv: float-reassociation
+    only (~1e-6 rel), across channel shapes including non-square inputs;
+    odd spatial dims are a hard error at the op level (the ConvBlock
+    fallback guard owns that case)."""
+    from jax import lax
+    from dt4image_restoration_tpu.ops.winograd import winograd_conv3x3_same
+
+    for (n, h, w, ci, co) in [(2, 8, 8, 3, 5), (1, 16, 12, 32, 32),
+                              (3, 4, 6, 2, 32)]:
+        x = jnp.asarray(rng.standard_normal((n, h, w, ci)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, ci, co)),
+                        jnp.float32) * 0.1
+        b = jnp.asarray(rng.standard_normal((co,)), jnp.float32)
+        ref = lax.conv_general_dilated(
+            x, k, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+        got = winograd_conv3x3_same(x, k, b)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+    with pytest.raises(ValueError, match="even"):
+        winograd_conv3x3_same(jnp.zeros((1, 5, 4, 2)),
+                              jnp.zeros((3, 3, 2, 4)))
+
+
+def test_denoiser_winograd_matches_direct():
+    """packed='winograd' runs every 3x3 block via Winograd on the SAME
+    parameter tree and must match direct execution through the full
+    residual U-Net (reassociation only)."""
+    gen = torch.Generator().manual_seed(7)
+    sd = make_unet_state_dict(gen)
+    params = convert_unet_state_dict(sd)
+    img = jnp.asarray(torch.rand(2, 1, 64, 64, generator=gen).numpy()
+                      .transpose(0, 2, 3, 1))
+    sig = jnp.asarray([0.1, 0.05])
+    direct = UNetDenoiser().apply({"params": params}, img, sig)
+    wino = UNetDenoiser(packed="winograd").apply({"params": params},
+                                                 img, sig)
+    np.testing.assert_allclose(np.asarray(wino), np.asarray(direct),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_denoiser_winograd_odd_size_falls_back():
+    """Odd spatial dims fall back to direct per block — at 31x31 every
+    level of the pyramid is odd (31 -> 15 -> 7 -> 3 -> 1), so the output
+    must be EXACTLY the direct path's."""
+    gen = torch.Generator().manual_seed(9)
+    sd = make_unet_state_dict(gen)
+    params = convert_unet_state_dict(sd)
+    img = jnp.asarray(torch.rand(1, 1, 31, 31, generator=gen).numpy()
+                      .transpose(0, 2, 3, 1))
+    direct = UNetDenoiser().apply({"params": params}, img,
+                                  jnp.asarray([0.1]))
+    wino = UNetDenoiser(packed="winograd").apply({"params": params}, img,
+                                                 jnp.asarray([0.1]))
+    np.testing.assert_array_equal(np.asarray(wino), np.asarray(direct))
