@@ -111,32 +111,48 @@ def _merge_extras(line: str, extra: dict) -> str:
 
 def _child_run(timeout_s: float = CHILD_TIMEOUT_S):
     """One full bench run against the default (device) backend in a
-    SUBPROCESS with a hard timeout. Child output goes to files, never
-    pipes (a blocked 64 KB pipe mid-run deadlocks, tests/test_multihost
-    lesson). Returns ``(json_line, None)`` on success, ``(None,
-    error_note)`` otherwise; the child's stderr tail is forwarded either
-    way so the section marks / tracebacks reach the driver log."""
+    SUBPROCESS with a hard timeout. stdout goes to a file (only the JSON
+    line matters); stderr is PUMPED live to the parent's stderr by a
+    drain thread — the driver sees section marks as they happen, the
+    pipe can never fill and deadlock (tests/test_multihost lesson: an
+    unread 64 KB pipe wedges the child), and the tail is kept for error
+    classification. Returns ``(json_line, None)`` on success, ``(None,
+    error_note)`` otherwise."""
+    import collections
     import os
     import subprocess
     import sys
     import tempfile
+    import threading
 
     here = os.path.abspath(__file__)
+    tail = collections.deque(maxlen=60)
+
+    def pump(pipe):
+        for line in pipe:
+            tail.append(line)
+            sys.stderr.write(line)
+            sys.stderr.flush()
+        pipe.close()
+
     with tempfile.TemporaryDirectory() as td:
         out_p = os.path.join(td, "out")
-        err_p = os.path.join(td, "err")
-        with open(out_p, "w") as out_f, open(err_p, "w") as err_f:
+        with open(out_p, "w") as out_f:
+            proc = subprocess.Popen(
+                [sys.executable, here, "--child"],
+                stdout=out_f, stderr=subprocess.PIPE, text=True,
+                cwd=os.path.dirname(here))
+            t = threading.Thread(target=pump, args=(proc.stderr,),
+                                 daemon=True)
+            t.start()
             try:
-                rc = subprocess.run(
-                    [sys.executable, here, "--child"],
-                    stdout=out_f, stderr=err_f, timeout=timeout_s,
-                    cwd=os.path.dirname(here)).returncode
+                rc = proc.wait(timeout=timeout_s)
             except subprocess.TimeoutExpired:
+                proc.kill()
+                proc.wait(timeout=30)
                 rc = None
-        with open(err_p) as f:
-            err_tail = f.read()[-4000:]
-        if err_tail.strip():
-            print(err_tail, file=sys.stderr)
+            t.join(timeout=10)
+        err_tail = "".join(tail)[-2000:]
         if rc is None:
             return None, f"child timeout after {timeout_s:.0f}s (hang signature)"
         with open(out_p) as f:
@@ -357,11 +373,20 @@ def _run(extras=None, degraded: bool = False) -> None:
 
         roll_wino = make_roll(denoise_wino)
         roll_wino_bf16 = make_roll(denoise_wino_bf16)
-        wino_psnr_delta = abs(fetch(roll_wino(state1)) - psnr_direct)
-        wino_ok = bool(wino_psnr_delta < 0.01)
-        if not wino_ok:
-            print(f"[bench] winograd conv variant REJECTED: PSNR delta "
-                  f"{wino_psnr_delta:.4f} dB vs direct", file=sys.stderr)
+        # Guarded like the pallas candidate: a hardware-side failure of a
+        # CANDIDATE variant must never cost the artifact its run.
+        wino_psnr_delta = float("nan")
+        wino_ok = False
+        try:
+            wino_psnr_delta = abs(fetch(roll_wino(state1)) - psnr_direct)
+            wino_ok = bool(wino_psnr_delta < 0.01)
+            if not wino_ok:
+                print(f"[bench] winograd conv variant REJECTED: PSNR "
+                      f"delta {wino_psnr_delta:.4f} dB vs direct",
+                      file=sys.stderr)
+        except Exception as e:  # pragma: no cover — hardware-dependent
+            print(f"[bench] winograd conv variant failed: {e!r}",
+                  file=sys.stderr)
         _mark("winograd single-slice compile+warm")
 
         roll_pallas = make_roll(denoise_pallas)
@@ -413,7 +438,9 @@ def _run(extras=None, degraded: bool = False) -> None:
             "winograd_iters_per_sec": (round(N_ITERS / t_wino, 2)
                                        if t_wino != float("inf")
                                        else None),
-            "winograd_psnr_delta_db": round(wino_psnr_delta, 4),
+            "winograd_psnr_delta_db": (round(wino_psnr_delta, 4)
+                                       if wino_psnr_delta ==
+                                       wino_psnr_delta else None),
             "pallas_ok": pallas_ok,
             "pallas_iters_per_sec": (round(N_ITERS / t_pallas, 2)
                                      if t_pallas != float("inf") else None),

@@ -821,3 +821,41 @@ def test_search_knee_profile_smoke(monkeypatch, capsys):
               "component_sum_ms_b2", "s_per_image_implied_b2"):
         assert k in r and np.isfinite(r[k]), k
     assert r["expand_lanes_b2"] == 12  # (K+1) * B
+
+
+def test_bench_child_run_protocol(tmp_path, monkeypatch, capsys):
+    """_child_run spawns `<bench.__file__> --child`, pumps the child's
+    stderr live to the parent's stderr (driver observability), parses
+    the last stdout line as the JSON artifact on rc=0, and classifies
+    failures with the stderr tail."""
+    import json as json_mod
+    import bench
+
+    good = tmp_path / "good_child.py"
+    good.write_text(
+        "import json, sys\n"
+        "print('[bench-section] fake: 1.0s', file=sys.stderr)\n"
+        "print('noise line')\n"
+        "print(json.dumps({'metric': 'm', 'value': 1.0}))\n")
+    monkeypatch.setattr(bench, "__file__", str(good))
+    line, err = bench._child_run(timeout_s=60)
+    assert err is None
+    assert json_mod.loads(line)["value"] == 1.0
+    assert "[bench-section] fake" in capsys.readouterr().err
+
+    bad = tmp_path / "bad_child.py"
+    bad.write_text(
+        "import sys\n"
+        "print('FAILED_PRECONDITION: TPU backend error', file=sys.stderr)\n"
+        "sys.exit(1)\n")
+    monkeypatch.setattr(bench, "__file__", str(bad))
+    line, err = bench._child_run(timeout_s=60)
+    assert line is None
+    assert "rc=1" in err and "FAILED_PRECONDITION" in err
+
+    hang = tmp_path / "hang_child.py"
+    hang.write_text("import time\ntime.sleep(600)\n")
+    monkeypatch.setattr(bench, "__file__", str(hang))
+    line, err = bench._child_run(timeout_s=2)
+    assert line is None
+    assert "hang signature" in err
