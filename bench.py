@@ -26,6 +26,7 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -37,10 +38,12 @@ BATCH = 16
 SCALING_BATCHES = (64, 128, 256)
 KNEE_REP_BUDGET = 512   # slices dispatched per knee variant (reps = /b)
 PALLAS_KNEE_BATCH = 128  # knee point where the fused-Pallas variant is A/B'd
-PALLAS_KNEE_DEADLINE_S = 420  # skip the knee fused-kernel extras when the
-# run is already this old — two more B=128 compiles must never cost the
-# driver's round-end artifact its timeout (the single-slice pallas A/B and
-# everything before it still complete)
+PALLAS_KNEE_DEADLINE_S = float(os.environ.get(
+    "BENCH_KNEE_DEADLINE_S", 420))  # skip the knee fused-kernel/winograd
+# extras when the run is already this old — extra B=128 compiles must never
+# cost the driver's round-end artifact its timeout (the single-slice A/Bs
+# and everything before them still complete). A skip is recorded in extras
+# as knee_candidates_skipped; raise via env for a focused rerun.
 SINGLE_REPEATS = 20
 BATCH_REPEATS = 10
 IMAGE_SEED = 0
@@ -511,6 +514,13 @@ def _run(extras=None, degraded: bool = False) -> None:
             t_16 = _throughput(lambda: roll_bf16_knee(state_b), fetch,
                                repeats=reps, warmup=1)
             t_best = min(t_d, t_p, t_16)
+            if b == PALLAS_KNEE_BATCH and (
+                    time.perf_counter() - t_run_start
+                    >= PALLAS_KNEE_DEADLINE_S):
+                # Record WHY the candidate keys are absent (BENCH_r05
+                # lesson: cache-cold compiles ate the 420 s budget and the
+                # skip was silent).
+                scaling["knee_candidates_skipped"] = True
             if (wino_ok and b == PALLAS_KNEE_BATCH
                     and time.perf_counter() - t_run_start
                     < PALLAS_KNEE_DEADLINE_S):

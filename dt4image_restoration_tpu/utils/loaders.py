@@ -33,13 +33,15 @@ def load_denoiser(path: str, dtype: str = "float32",
         load_unet_checkpoint, restore_checkpoint)
 
     # 'none' = the exact direct path; 's2d' = space-to-depth packed 128^2
-    # stages (XLA); 'pallas' = fused whole-block Pallas kernels on them.
-    # All three run the SAME parameter tree (PARITY.md D14).
+    # stages (XLA); 'pallas' = fused whole-block Pallas kernels on them;
+    # 'winograd' = every 3x3 block via F(2x2,3x3) MXU GEMMs (odd spatial
+    # sizes fall back to direct per block). All modes run the SAME
+    # parameter tree (PARITY.md D14).
     def build(packed_key):
         return UNetDenoiser(
             dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
-            packed={"none": False, "s2d": True,
-                    "pallas": "pallas"}[packed_key])
+            packed={"none": False, "s2d": True, "pallas": "pallas",
+                    "winograd": "winograd"}[packed_key])
 
     model = build(packed)
     if os.path.isdir(path):

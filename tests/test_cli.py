@@ -57,10 +57,11 @@ def test_cli_eval_smoke(eval_dir, capsys):
 
 
 def test_cli_eval_unet_packed_matches_direct(eval_dir, capsys):
-    """--unet_packed {s2d, pallas} (space-to-depth packed / fused
-    whole-block kernels on the 128^2 stages) are exact rewrites of the
-    direct convs: the printed episode averages must match the default
-    run to reassociation-level tolerance (PARITY.md D14)."""
+    """--unet_packed {s2d, pallas, winograd} (space-to-depth packed /
+    fused whole-block kernels on the 128^2 stages / Winograd F(2x2,3x3)
+    on every block) are exact rewrites of the direct convs: the printed
+    episode averages must match the default run to reassociation-level
+    tolerance (PARITY.md D14)."""
     def run(packed):
         cli.main(["--block_size", "18", "--n_embeds", "9", "eval",
                   "--rtg", "10", "--max_timesteps", "6",
@@ -74,7 +75,7 @@ def test_cli_eval_unet_packed_matches_direct(eval_dir, capsys):
 
     base = run("none")
     assert len(base) == 2
-    for packed in ("s2d", "pallas"):
+    for packed in ("s2d", "pallas", "winograd"):
         np.testing.assert_allclose(run(packed), base,
                                    rtol=1e-4, atol=1e-4)
 
