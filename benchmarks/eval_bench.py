@@ -48,6 +48,15 @@ def main() -> None:
     results = {"platform": jax.devices()[0].platform,
                "tpu_unreachable": tpu_unreachable}
 
+    t_start = time.perf_counter()
+
+    def _mark(section):
+        # Live stderr progress: a mid-run tunnel hang is otherwise
+        # indistinguishable from a long compile (2026-08-20 lesson).
+        dt = time.perf_counter() - t_start
+        print(f"[eval-bench] {section} ({dt:.0f}s)",
+              file=sys.stderr, flush=True)
+
     den_params = convert_unet_state_dict(random_unet_state_dict(0))
     den_model = UNetDenoiser()
     denoise = lambda img, sig: den_model.apply({"params": den_params}, img,
@@ -66,6 +75,7 @@ def main() -> None:
                          np.asarray([2], np.int32)), mat))
         return out
 
+    _mark("greedy eval")
     # --- config 2: greedy DT eval (7-image batch like the reference's
     # reporting unit, eval.py:137-143) ------------------------------------
     cfg = ModelConfig(block_size=18, n_embeds=9, mode="norm",
@@ -84,6 +94,7 @@ def main() -> None:
     results["greedy_eval_mean_episode_len"] = float(
         np.mean(m["episode_len"]))
 
+    _mark("flex decode")
     # --- config 3: flex decode (same program, flex head mapping) ---------
     cfg_f = ModelConfig(block_size=18, n_embeds=6, mode="flex",
                         image_size=IMAGE_SIZE)
@@ -97,6 +108,7 @@ def main() -> None:
     ev_f.evaluate_records(recs_f)
     results["flex_eval_7img_s"] = round(time.perf_counter() - t0, 3)
 
+    _mark("host MCTS")
     # --- config 4: MCTS (30 search iterations) ---------------------------
     from dt4image_restoration_tpu.inference.mcts import BatchedMCTS
     mcts = MCTS(dt_apply=dt_apply, dt_params=dt_params, denoise=denoise,
@@ -108,6 +120,7 @@ def main() -> None:
     mcts.run(rec, seed=1)
     results["mcts_30iter_s"] = round(time.perf_counter() - t0, 3)
 
+    _mark("batched host MCTS")
     # Lockstep trees: a whole directory's images in one batched search.
     bm = BatchedMCTS(dt_apply=dt_apply, dt_params=dt_params,
                      denoise=denoise, model_cfg=cfg,
@@ -122,6 +135,7 @@ def main() -> None:
     results["mcts_batched_s_per_image"] = round(wall / N_IMAGES, 3)
 
     # Device-resident tree: the WHOLE 30-iteration search for all 7 images
+    _mark("device MCTS")
     # is ONE XLA program (inference/mcts_device.py).
     from dt4image_restoration_tpu.inference.mcts_device import DeviceMCTS
     dm = DeviceMCTS(dt_apply=dt_apply, dt_params=dt_params,
@@ -144,6 +158,7 @@ def main() -> None:
         results[f"mcts_device_s_per_image_b{b}"] = round(
             (time.perf_counter() - t0) / b, 3)
 
+    _mark("device MCTS + ARNIQA")
     # Device search with the full ARNIQA scorer (ResNet-50 x2 scales)
     # embedded in the program — the production value model (random weights;
     # compute cost is weight-independent).
@@ -164,6 +179,7 @@ def main() -> None:
     results["mcts_device_arniqa_s_per_image"] = round(
         (time.perf_counter() - t0) / N_IMAGES, 3)
 
+    _mark("full-30 episodes")
     # Full-length episodes — the trained-policy regime. Random weights stop
     # at t~2 (T > 0.5 fires early), flattering the numbers above; pin the
     # stop head low (sigmoid(-8) ~ 0: column 0 = T in norm mode,
@@ -183,6 +199,7 @@ def main() -> None:
     results["greedy_eval_full30_mean_episode_len"] = float(
         np.mean(m["episode_len"]))
 
+    _mark("guided-eval batch scaling")
     # Guided-eval batch scaling at full episode length (the honest
     # throughput ceiling for the DT-guided path; the Evaluator passes
     # params per call, so the swap is fully effective).
@@ -194,6 +211,7 @@ def main() -> None:
         results[f"greedy_eval_full30_images_per_sec_b{b}"] = round(
             b / (time.perf_counter() - t0), 2)
 
+    _mark("device MCTS full-30")
     # A fresh instance (not a dt_params swap): MCTS buffer-seeding programs
     # bake the construction-time weights (see mcts.py _seed_bufs note).
     dm_full = DeviceMCTS(dt_apply=dt_apply, dt_params=full_params,
@@ -206,6 +224,7 @@ def main() -> None:
     results["mcts_device_full30_s_per_image"] = round(
         (time.perf_counter() - t0) / N_IMAGES, 3)
 
+    _mark("bf16 quality deltas")
     # bf16 guided-path QUALITY — the reference's autocast surface applied
     # to inference (main.py:37-40, env.py:52): identical full-30 weights,
     # bfloat16 compute in the DT and the U-Net prior; report the PSNR
@@ -250,6 +269,7 @@ def main() -> None:
     results["mcts_device_full30_nodebf16_psnr_delta_db"] = round(
         float(np.mean(r_n16) - np.mean(r_f32)), 4)
 
+    _mark("node-dtype knee sweep")
     # Knee sweep in the same regime as the b16/32 rows above (random
     # weights, early-stop episodes): f32 nodes vs bf16 nodes at B=64/128.
     dmn = DeviceMCTS(dt_apply=dt_apply, dt_params=dt_params,

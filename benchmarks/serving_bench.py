@@ -52,6 +52,16 @@ def main() -> None:
     results = {"platform": jax.devices()[0].platform,
                "tpu_unreachable": tpu_unreachable}
 
+    t_start = time.perf_counter()
+
+    def _mark(section):
+        # Live progress on stderr: a mid-run tunnel hang (observed
+        # 2026-08-20: first device fetch blocked 20+ min with ~0 CPU)
+        # is otherwise indistinguishable from a long compile.
+        dt = time.perf_counter() - t_start
+        print(f"[serving-bench] {section} ({dt:.0f}s)",
+              file=sys.stderr, flush=True)
+
     den_params = convert_unet_state_dict(random_unet_state_dict(0))
     den_model = UNetDenoiser()
     denoise = lambda img, sig: den_model.apply({"params": den_params},
@@ -72,7 +82,9 @@ def main() -> None:
                              batch_size=POLICY_BATCH,
                              max_timesteps=MAX_TIMESTEPS)
     try:
+        _mark("policy compile+warm")
         svc.restore(requests(POLICY_BATCH))  # compile + warm
+        _mark("policy sequential load")
         t0 = time.perf_counter()
         svc.restore(requests(POLICY_LOAD))
         wall = time.perf_counter() - t0
@@ -117,6 +129,7 @@ def main() -> None:
                     round(float(p99), 1),
                     round(len(lat_ms) / wall, 2))
 
+        _mark("concurrent clients (adaptive fill window)")
         p50, p95, p99, rps = concurrent_percentiles(svc)
         results["serving_policy_concurrent_p50_ms"] = p50
         results["serving_policy_concurrent_p95_ms"] = p95
@@ -139,6 +152,7 @@ def main() -> None:
                              max_timesteps=MAX_TIMESTEPS,
                              fill_window_frac=0.0)
     try:
+        _mark("concurrent clients (legacy fixed patience)")
         svc.restore(requests(POLICY_BATCH))  # warm (program cache shared)
         p50, p95, p99, rps = concurrent_percentiles(svc)
         results["serving_policy_legacy_concurrent_p50_ms"] = p50
@@ -158,6 +172,7 @@ def main() -> None:
                              max_timesteps=MAX_TIMESTEPS,
                              pipeline_depth=2)
     try:
+        _mark("pipelined dispatch")
         svc.restore(requests(POLICY_BATCH))  # compile + warm
         t0 = time.perf_counter()
         svc.restore(requests(POLICY_LOAD))
@@ -183,7 +198,9 @@ def main() -> None:
                              search_cfg=MCTSConfig(iterations=MCTS_ITERATIONS),
                              value_fn_jax=proxy_value_fn_jax)
     try:
+        _mark("mcts mode compile+warm")
         svc.restore(requests(MCTS_BATCH))  # compile + warm
+        _mark("mcts load")
         t0 = time.perf_counter()
         svc.restore(requests(2 * MCTS_BATCH))
         wall = time.perf_counter() - t0
