@@ -90,6 +90,10 @@ def main() -> None:
     from dt4image_restoration_tpu.ops.image import (
         depth_to_space as d2s, pack_conv_weights, repad_cells,
         space_to_depth as s2d_plain, space_to_depth_shifted as s2d_shift)
+    from dt4image_restoration_tpu.ops.winograd import winograd_conv3x3_same
+
+    def wino(x, w):
+        return winograd_conv3x3_same(x, w)
 
     def pack_w_shift(w):
         return pack_conv_weights(jnp.asarray(w, jnp.float32), "shift")
@@ -113,6 +117,8 @@ def main() -> None:
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(repad_indomain(s2d_plain(x))),
                                np.asarray(s2d_shift(x)), atol=0)
+    np.testing.assert_allclose(np.asarray(wino(x, w)), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
     results["rewrites_correct"] = True
 
     # --- block-level A/B: the 3-conv LeakyReLU blocks ---------------------
@@ -153,9 +159,19 @@ def main() -> None:
                 y = jax.nn.leaky_relu(conv(y, wb, "SAME"), 0.2)
                 return conv(y, wb, "SAME")
 
+            def wino_block(x, w1, wb, feedback=0.0):
+                # Winograd F(2x2,3x3): 2.25x fewer MACs per conv
+                # (ops/winograd.py — the MAC-reduction lever at the
+                # compute-bound knee, RESULTS.md round-4 attribution).
+                x = x + jnp.asarray(feedback, x.dtype)
+                y = jax.nn.leaky_relu(wino(x, w1), 0.2)
+                y = jax.nn.leaky_relu(wino(y, wb), 0.2)
+                return wino(y, wb)
+
             t_dir = time_fn(direct_block, x, w1, wb)
             t_shift = time_fn(shift_block, x, w1s, wbs)
             t_dense = time_fn(dense_block, x, w1d, wbd)
+            t_wino = time_fn(wino_block, x, w1, wb)
             flops = 2 * B * h * h * 9 * (cin * cout + 2 * cout * cout)
             key = f"{name}_{dt_name}"
             results[f"{key}_direct_us"] = round(t_dir * 1e6, 1)
@@ -164,11 +180,14 @@ def main() -> None:
             results[f"{key}_s2dshift_speedup"] = round(t_dir / t_shift, 2)
             results[f"{key}_s2ddense_us"] = round(t_dense * 1e6, 1)
             results[f"{key}_s2ddense_speedup"] = round(t_dir / t_dense, 2)
+            results[f"{key}_winograd_us"] = round(t_wino * 1e6, 1)
+            results[f"{key}_winograd_speedup"] = round(t_dir / t_wino, 2)
             print(json.dumps({key: {
                 "direct_us": results[f"{key}_direct_us"],
                 "tf": results[f"{key}_direct_tf"],
                 "shift_x": results[f"{key}_s2dshift_speedup"],
-                "dense_x": results[f"{key}_s2ddense_speedup"]}}),
+                "dense_x": results[f"{key}_s2ddense_speedup"],
+                "wino_x": results[f"{key}_winograd_speedup"]}}),
                 file=sys.stderr)
 
     # --- fused Pallas whole-block kernel on the REAL 128^2 blocks ---------
