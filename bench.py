@@ -374,8 +374,28 @@ def _run(extras=None, degraded: bool = False) -> None:
                                         img.astype(jnp.bfloat16), sigma)
             return out.astype(jnp.float32)
 
+        # winograd_deep: Winograd only on the >=128-channel blocks (whose
+        # channel GEMMs fill the MXU contraction lanes), direct on the
+        # shallow ones — knee-only candidate (jit is lazy; these compile
+        # nothing unless the knee A/B runs them).
+        model_wino_deep = UNetDenoiser(packed="winograd_deep")
+
+        def denoise_wino_deep(img, sigma):
+            return model_wino_deep.apply({"params": params}, img, sigma)
+
+        model_wino_deep_bf16 = UNetDenoiser(dtype=jnp.bfloat16,
+                                            packed="winograd_deep")
+
+        def denoise_wino_deep_bf16(img, sigma):
+            out = model_wino_deep_bf16.apply({"params": params},
+                                             img.astype(jnp.bfloat16),
+                                             sigma)
+            return out.astype(jnp.float32)
+
         roll_wino = make_roll(denoise_wino)
         roll_wino_bf16 = make_roll(denoise_wino_bf16)
+        roll_wino_deep = make_roll(denoise_wino_deep)
+        roll_wino_deep_bf16 = make_roll(denoise_wino_deep_bf16)
         # Guarded like the pallas candidate: a hardware-side failure of a
         # CANDIDATE variant must never cost the artifact its run.
         wino_psnr_delta = float("nan")
@@ -538,6 +558,32 @@ def _run(extras=None, degraded: bool = False) -> None:
                     except Exception as e:  # pragma: no cover — hw-dep.
                         print(f"[bench] {tag} knee b={b} failed: {e!r}",
                               file=sys.stderr)
+                    _mark(f"{tag} knee b={b}")
+                # winograd_deep, with its own parity gate (its
+                # reassociation set differs from full winograd's).
+                try:
+                    wd_delta = abs(fetch(roll_wino_deep(state1))
+                                   - psnr_direct)
+                    scaling["winograd_deep_psnr_delta_db"] = round(
+                        wd_delta, 4)
+                    if wd_delta < 0.01:
+                        for tag, roll_k in (
+                                ("winograd_deep", roll_wino_deep),
+                                ("winograd_deep_bf16",
+                                 roll_wino_deep_bf16)):
+                            t_wk = _throughput(
+                                lambda: roll_k(state_b), fetch,
+                                repeats=reps, warmup=1)
+                            scaling[f"{tag}_slices_per_sec_b{b}"] = round(
+                                b / t_wk, 2)
+                            t_best = min(t_best, t_wk)
+                            _mark(f"{tag} knee b={b}")
+                    else:
+                        print(f"[bench] winograd_deep REJECTED: PSNR "
+                              f"delta {wd_delta:.4f} dB", file=sys.stderr)
+                except Exception as e:  # pragma: no cover — hw-dep.
+                    print(f"[bench] winograd_deep knee b={b} failed: "
+                          f"{e!r}", file=sys.stderr)
             if (pallas_ok and b == PALLAS_KNEE_BATCH
                     and time.perf_counter() - t_run_start
                     < PALLAS_KNEE_DEADLINE_S):

@@ -66,7 +66,11 @@ class ConvBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         packed = self.packed
-        if packed and (x.shape[-3] % 2 or x.shape[-2] % 2):
+        if packed and (x.shape[-3] % 2 or x.shape[-2] % 2
+                       or x.shape[-3] < 2 or x.shape[-2] < 2):
+            # Odd spatial dims can't tile 2x2 cells; <2 covers the
+            # degenerate 0-sized levels a deep pyramid on tiny inputs
+            # produces (e.g. 10 -> 5 -> 2 -> 1 -> 0).
             packed = None
         if packed == "winograd":
             cin = x.shape[-1]
@@ -147,38 +151,50 @@ class UNet(nn.Module):
     out_channels: int = 1
     base_channels: int = 32
     dtype: Any = jnp.float32
-    packed: Any = False  # False | True | 'pallas' | 'winograd'
+    # False | True | 'pallas' | 'winograd' | 'winograd_deep'
+    packed: Any = False
+
+    # The >=4*base_channels blocks: contraction (Cin) and output lanes
+    # (Cout) both >=128, so their Winograd channel GEMMs fill the MXU and
+    # the 2.25x MAC cut applies at the device's true matmul rate; the
+    # shallow blocks' K<128 GEMMs are lane-starved and stay direct under
+    # 'winograd_deep'.
+    _DEEP_WINO_BLOCKS = ("down2", "down3", "down4", "up1", "up2")
+
+    def _block_packed(self, name):
+        p = self.packed
+        if p == "winograd":
+            # Every 3x3 block: the conv FLOPs are spread nearly evenly
+            # across the 9 stages (H^2*C^2 is level-invariant down the U),
+            # so the whole-net MAC-reduction lever hits all of them.
+            return "winograd"
+        if p == "winograd_deep":
+            return "winograd" if name in self._DEEP_WINO_BLOCKS else None
+        if name == "inc":
+            return "pallas" if p == "pallas" else "dense" if p else None
+        if name == "up4":
+            if p == "pallas":
+                return "pallas"
+            return "shift" if (p and self.dtype == jnp.float32) else None
+        return None
 
     @nn.compact
     def __call__(self, x):
         noisy = x
         c = self.base_channels
-        # 'winograd' applies to EVERY 3x3 block: the conv FLOPs are spread
-        # nearly evenly across the 9 stages (H^2*C^2 is level-invariant
-        # down the U), so a MAC-reduction lever must hit all of them.
-        deep_packed = "winograd" if self.packed == "winograd" else None
-        if self.packed == "winograd":
-            inc_packed = up4_packed = "winograd"
-        else:
-            inc_packed = ("pallas" if self.packed == "pallas"
-                          else "dense" if self.packed else None)
-            if self.packed == "pallas":
-                up4_packed = "pallas"
-            else:
-                up4_packed = "shift" if (
-                    self.packed and self.dtype == jnp.float32) else None
-        x1 = ConvBlock(c, dtype=self.dtype, packed=inc_packed,
+        bp = self._block_packed
+        x1 = ConvBlock(c, dtype=self.dtype, packed=bp("inc"),
                        name="inc")(x)
-        x2 = ConvBlock(2 * c, dtype=self.dtype, packed=deep_packed,
+        x2 = ConvBlock(2 * c, dtype=self.dtype, packed=bp("down1"),
                        name="down1")(
             nn.max_pool(x1, (2, 2), strides=(2, 2)))
-        x3 = ConvBlock(4 * c, dtype=self.dtype, packed=deep_packed,
+        x3 = ConvBlock(4 * c, dtype=self.dtype, packed=bp("down2"),
                        name="down2")(
             nn.max_pool(x2, (2, 2), strides=(2, 2)))
-        x4 = ConvBlock(8 * c, dtype=self.dtype, packed=deep_packed,
+        x4 = ConvBlock(8 * c, dtype=self.dtype, packed=bp("down3"),
                        name="down3")(
             nn.max_pool(x3, (2, 2), strides=(2, 2)))
-        x5 = ConvBlock(16 * c, dtype=self.dtype, packed=deep_packed,
+        x5 = ConvBlock(16 * c, dtype=self.dtype, packed=bp("down4"),
                        name="down4")(
             nn.max_pool(x4, (2, 2), strides=(2, 2)))
 
@@ -189,10 +205,10 @@ class UNet(nn.Module):
             return ConvBlock(feats, dtype=self.dtype, packed=packed,
                              name=name)(a)
 
-        y = up(x5, x4, 8 * c, "up1", packed=deep_packed)
-        y = up(y, x3, 4 * c, "up2", packed=deep_packed)
-        y = up(y, x2, 2 * c, "up3", packed=deep_packed)
-        y = up(y, x1, c, "up4", packed=up4_packed)
+        y = up(x5, x4, 8 * c, "up1", packed=bp("up1"))
+        y = up(y, x3, 4 * c, "up2", packed=bp("up2"))
+        y = up(y, x2, 2 * c, "up3", packed=bp("up3"))
+        y = up(y, x1, c, "up4", packed=bp("up4"))
         residual = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
                            name="outc")(y)
         return noisy[..., :self.out_channels] + residual

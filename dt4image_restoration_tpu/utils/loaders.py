@@ -41,7 +41,8 @@ def load_denoiser(path: str, dtype: str = "float32",
         return UNetDenoiser(
             dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
             packed={"none": False, "s2d": True, "pallas": "pallas",
-                    "winograd": "winograd"}[packed_key])
+                    "winograd": "winograd",
+                    "winograd_deep": "winograd_deep"}[packed_key])
 
     model = build(packed)
     if os.path.isdir(path):

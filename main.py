@@ -355,15 +355,17 @@ def build_parser() -> argparse.ArgumentParser:
                             "value model (the reference's autocast policy, "
                             "main.py:37-40, env.py:52)")
         s.add_argument("--unet_packed", default="none",
-                       choices=["none", "s2d", "pallas", "winograd"],
+                       choices=["none", "s2d", "pallas", "winograd",
+                                "winograd_deep"],
                        help="U-Net execution: 'none' = exact direct convs; "
                             "'s2d' = space-to-depth packed 128^2 stages "
                             "(XLA); 'pallas' = fused whole-block kernels "
                             "on them; 'winograd' = every 3x3 block as "
-                            "F(2x2,3x3) MXU GEMMs (2.25x fewer multiplies). "
-                            "Same checkpoint tree; exact up to float "
-                            "reassociation (PARITY.md D14, "
-                            "benchmarks/conv_probe.py)")
+                            "F(2x2,3x3) MXU GEMMs (2.25x fewer multiplies); "
+                            "'winograd_deep' = Winograd on the "
+                            ">=128-channel blocks only. Same checkpoint "
+                            "tree; exact up to float reassociation "
+                            "(PARITY.md D14, benchmarks/conv_probe.py)")
         if name == "mcts":
             s.add_argument("--seed", type=int, default=0)
             s.add_argument("--arniqa_ckpt", default=None)

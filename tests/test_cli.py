@@ -57,7 +57,7 @@ def test_cli_eval_smoke(eval_dir, capsys):
 
 
 def test_cli_eval_unet_packed_matches_direct(eval_dir, capsys):
-    """--unet_packed {s2d, pallas, winograd} (space-to-depth packed /
+    """--unet_packed {s2d, pallas, winograd, winograd_deep} (s2d packed /
     fused whole-block kernels on the 128^2 stages / Winograd F(2x2,3x3)
     on every block) are exact rewrites of the direct convs: the printed
     episode averages must match the default run to reassociation-level
@@ -75,7 +75,7 @@ def test_cli_eval_unet_packed_matches_direct(eval_dir, capsys):
 
     base = run("none")
     assert len(base) == 2
-    for packed in ("s2d", "pallas", "winograd"):
+    for packed in ("s2d", "pallas", "winograd", "winograd_deep"):
         np.testing.assert_allclose(run(packed), base,
                                    rtol=1e-4, atol=1e-4)
 

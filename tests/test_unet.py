@@ -231,3 +231,32 @@ def test_denoiser_winograd_odd_size_falls_back():
     wino = UNetDenoiser(packed="winograd").apply({"params": params}, img,
                                                  jnp.asarray([0.1]))
     np.testing.assert_array_equal(np.asarray(wino), np.asarray(direct))
+
+
+def test_denoiser_winograd_deep_matches_direct():
+    """packed='winograd_deep' applies Winograd only to the >=128-channel
+    blocks (down2..down4, up1..up2 — where the channel GEMMs fill the
+    MXU's 128 contraction lanes) and runs the shallow blocks direct; the
+    full residual U-Net output must match direct execution to
+    reassociation tolerance on the same parameter tree."""
+    gen = torch.Generator().manual_seed(11)
+    sd = make_unet_state_dict(gen)
+    params = convert_unet_state_dict(sd)
+    img = jnp.asarray(torch.rand(2, 1, 64, 64, generator=gen).numpy()
+                      .transpose(0, 2, 3, 1))
+    sig = jnp.asarray([0.1, 0.05])
+    direct = UNetDenoiser().apply({"params": params}, img, sig)
+    deep = UNetDenoiser(packed="winograd_deep").apply({"params": params},
+                                                      img, sig)
+    np.testing.assert_allclose(np.asarray(deep), np.asarray(direct),
+                               rtol=1e-4, atol=1e-5)
+    # And the shallow blocks really are direct: at 10x10 the deep levels
+    # (10 -> 5) go odd immediately, so winograd_deep must be EXACTLY
+    # direct there while full 'winograd' is not (inc still even).
+    img_s = jnp.asarray(torch.rand(1, 1, 10, 10, generator=gen).numpy()
+                        .transpose(0, 2, 3, 1))
+    d_s = UNetDenoiser().apply({"params": params}, img_s,
+                               jnp.asarray([0.1]))
+    deep_s = UNetDenoiser(packed="winograd_deep").apply(
+        {"params": params}, img_s, jnp.asarray([0.1]))
+    np.testing.assert_array_equal(np.asarray(deep_s), np.asarray(d_s))
