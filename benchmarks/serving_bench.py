@@ -20,7 +20,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 POLICY_BATCH = 16      # compiled service batch shape (policy mode)
 POLICY_LOAD = 64       # requests in the throughput burst
-N_CLIENTS = 8          # concurrent client threads (percentile section)
+N_CLIENTS = 32         # concurrent clients (percentile section):
+                       # 2x the batch shape, so the queue SATURATES —
+                       # the round-4 tail regime (VERDICT r4 #5)
 REQS_PER_CLIENT = 8
 MCTS_BATCH = 8
 MAX_TIMESTEPS = 30
@@ -130,7 +132,13 @@ def main() -> None:
                     round(len(lat_ms) / wall, 2))
 
         _mark("concurrent clients (adaptive fill window)")
+        st0 = svc.stats()
         p50, p95, p99, rps = concurrent_percentiles(svc)
+        st1 = svc.stats()
+        results["serving_policy_concurrent_batches"] = (
+            st1["batches"] - st0["batches"])
+        results["serving_policy_concurrent_padded_slots"] = (
+            st1["padded_slots"] - st0["padded_slots"])
         results["serving_policy_concurrent_p50_ms"] = p50
         results["serving_policy_concurrent_p95_ms"] = p95
         results["serving_policy_concurrent_p99_ms"] = p99
@@ -154,7 +162,13 @@ def main() -> None:
     try:
         _mark("concurrent clients (legacy fixed patience)")
         svc.restore(requests(POLICY_BATCH))  # warm (program cache shared)
+        st0 = svc.stats()
         p50, p95, p99, rps = concurrent_percentiles(svc)
+        st1 = svc.stats()
+        results["serving_policy_legacy_concurrent_batches"] = (
+            st1["batches"] - st0["batches"])
+        results["serving_policy_legacy_concurrent_padded_slots"] = (
+            st1["padded_slots"] - st0["padded_slots"])
         results["serving_policy_legacy_concurrent_p50_ms"] = p50
         results["serving_policy_legacy_concurrent_p95_ms"] = p95
         results["serving_policy_legacy_concurrent_p99_ms"] = p99
