@@ -45,6 +45,17 @@ def _spawn_ranks(worker, out_path, n_proc=2, device_count=2,
             JAX_NUM_PROCESSES=str(n_proc),
             JAX_PROCESS_ID=str(rank),
             REPO_ROOT=REPO,
+            # Workers get a FRESH, shared-but-empty compile cache instead
+            # of inheriting the session's populated one: coordinated
+            # processes racing asymmetric cache hits/misses (a hit enters
+            # the program's collectives immediately; a feature-mismatch
+            # miss recompiles for ~a minute) have been observed to wedge
+            # the rendezvous past the 600 s budget, while symmetric cold
+            # compiles at these shapes finish in ~90 s (2026-08-21,
+            # 3.6 GB populated cache). An empty dir keeps the two ranks
+            # symmetric AND makes the test's timing invariant of whatever
+            # the session ran before it.
+            JAX_COMPILATION_CACHE_DIR=out_path + ".jaxcache",
             **{"OUT_PATH": out_path, **(extra_env or {})},
         )
         log = open(out_path + f".spawn{rank}.log", "w+")
