@@ -69,3 +69,13 @@ PROBE_BATCH=128 PROBE_DTYPE=bfloat16 python benchmarks/knee_profile.py
 #device-search knee attribution: whole-search per-iteration slope vs its
 #components (policy / 6-slot expansion / rollout / tree bookkeeping)
 SEARCH_BATCHES=16,64,128 python benchmarks/search_knee_profile.py
+
+#run the TPU bench queue to completion across tunnel outages/flaps
+#(probe-gated, timeout-bounded, restartable; tools/measure.py docstring
+#has the operational rules learned on the flapping axon tunnel)
+python tools/measure.py --out /tmp/measurements --pause-file /tmp/measurements/PAUSE \
+  "serving:1500:python benchmarks/serving_bench.py" \
+  "bench:2700:env BENCH_KNEE_DEADLINE_S=1800 python bench.py" \
+  "eval:2700:python benchmarks/eval_bench.py" \
+  "search_knee:3000:python benchmarks/search_knee_profile.py" \
+  "conv_probe:2700:env PROBE_BATCH=128 python benchmarks/conv_probe.py"

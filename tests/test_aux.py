@@ -859,3 +859,52 @@ def test_bench_child_run_protocol(tmp_path, monkeypatch, capsys):
     line, err = bench._child_run(timeout_s=2)
     assert line is None
     assert "hang signature" in err
+
+
+def test_measure_queue_lands_and_is_restartable(tmp_path, monkeypatch,
+                                                capsys):
+    """tools/measure.py: benches land when their last stdout line parses
+    as JSON, .done markers make re-invocation skip them, and a bench
+    that never emits JSON bounds out via --max-wall with rc 1."""
+    import tools.measure as measure
+
+    monkeypatch.setattr(measure, "probe", lambda *a, **k: True)
+    out = str(tmp_path / "m")
+    ok = 'ok:60:echo {\\"metric\\": 1}'
+    rc = measure.main([ok, "--out", out, "--max-wall", "60"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "ok.done"))
+    import json as _json
+    assert _json.loads(open(os.path.join(out, "ok.json")).read()
+                       .strip().splitlines()[-1]) == {"metric": 1}
+
+    # Restartable: completed benches are skipped (a failing command in
+    # the same queue would otherwise run), and a no-JSON bench retries
+    # until --max-wall then exits 1 without touching the done marker.
+    bad = "bad:60:echo not-json"
+    rc = measure.main([ok, bad, "--out", out, "--max-wall", "3"])
+    assert rc == 1
+    assert not os.path.exists(os.path.join(out, "bad.done"))
+    assert os.path.exists(os.path.join(out, "ok.done"))
+
+
+def test_measure_probe_gates_and_sleeps(tmp_path, monkeypatch):
+    """A dead probe never launches the bench; the queue sleeps and
+    re-probes until --max-wall."""
+    import tools.measure as measure
+
+    calls = {"probe": 0}
+
+    def dead_probe(*a, **k):
+        calls["probe"] += 1
+        return False
+
+    monkeypatch.setattr(measure, "probe", dead_probe)
+    monkeypatch.setattr(measure.time, "sleep", lambda s: None)
+    out = str(tmp_path / "m2")
+    marker = tmp_path / "ran"
+    rc = measure.main([f"b:60:touch {marker}", "--out", out,
+                       "--max-wall", "0.2", "--down-sleep", "0.01"])
+    assert rc == 1
+    assert calls["probe"] >= 1
+    assert not marker.exists()
