@@ -48,9 +48,12 @@ SINGLE_REPEATS = 20
 BATCH_REPEATS = 10
 IMAGE_SEED = 0
 
-CHILD_TIMEOUT_S = 1500.0  # one full device bench run (healthy ~10-12 min
-# including the knee sweep); a mid-run tunnel drop HANGS, so only this
-# hard kill bounds it
+CHILD_TIMEOUT_S = float(os.environ.get("BENCH_CHILD_TIMEOUT_S", 1500.0))
+# one full device bench run (healthy ~10-12 min including the knee
+# sweep); a mid-run tunnel drop HANGS, so only this hard kill bounds it.
+# Env-overridable for focused knee runs (BENCH_KNEE_DEADLINE_S raised):
+# the extra B=128 candidate compiles are ~5 min each cache-cold and can
+# legitimately need more than the driver-run default.
 RETRY_IF_FAILED_BEFORE_S = 300.0  # only a FAST first failure smells like a
 # transient backend fault worth one same-backend retry; a slow one already
 # burned too much of the driver's budget
