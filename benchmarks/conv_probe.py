@@ -117,8 +117,15 @@ def main() -> None:
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(repad_indomain(s2d_plain(x))),
                                np.asarray(s2d_shift(x)), atol=0)
+    # Winograd band: the s2d rewrites run the SAME conv op on both sides
+    # (identical TPU bf16 tap rounding cancels), but Winograd is a
+    # different algorithm — on real TPU both paths multiply in bf16 and
+    # round DIFFERENTLY, so the band is bf16-epsilon-scale there (same
+    # rationale as the fused-kernel band below; exact-f32 parity is
+    # pinned on CPU in tests/test_unet.py and the PSNR gate in bench.py
+    # covers TPU end to end).
     np.testing.assert_allclose(np.asarray(wino(x, w)), np.asarray(ref),
-                               rtol=1e-4, atol=1e-5)
+                               rtol=5e-3, atol=5e-3)
     results["rewrites_correct"] = True
 
     # --- block-level A/B: the 3-conv LeakyReLU blocks ---------------------
